@@ -1,0 +1,218 @@
+"""Configuration for the TPU-native NeRF framework.
+
+One dataclass unifies the reference's CLI flag surface (reference:
+src/cli.rs:5-66 — 16 flags with defaults) with its compile-time model
+constants (src/model.rs:7-13) and camera intrinsics
+(src/ray_sampling.rs:7-16), per SURVEY.md §5.6. The config is
+serializable into the run dir and into TensorBoard hparams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics + canonical pose.
+
+    Mirrors the reference's compile-time camera constants
+    (src/ray_sampling.rs:7-16): a 128x128 screen, FOV pi/3, near plane
+    ("hither") 0.05, far 2.0, camera at [0,0,-1] looking at [0,0,1]
+    with +Y up.
+    """
+
+    width: int = 128
+    height: int = 128
+    fov: float = math.pi / 3.0
+    near: float = 0.05
+    far: float = 2.0
+    origin: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    at: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    # Blender-style datasets carry focal length instead of fov+hither.
+    focal: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Radiance-field MLP architecture.
+
+    Default is the paper-correct NeRF (arXiv 2003.08934 §5.1): gamma(x)
+    with L=10, gamma(d) with L=4, 8x256 trunk with a skip connection
+    injecting the encoded position at layer 5, a density head, and a
+    view-dependent 128-wide RGB head. ``compat=True`` reproduces the
+    reference's committed architecture instead (src/model.rs:45-93):
+    raw xyz input, 8x100 trunk, no skip, 101-wide output whose channel 0
+    is sigma, and a 100->50->4 sigmoid radiance head.
+    """
+
+    net_depth: int = 8
+    net_width: int = 256
+    skip_layer: int = 4  # input re-injected before trunk layer index 4 (5th)
+    pos_enc_levels: int = 10  # L for gamma(x)
+    dir_enc_levels: int = 4  # L for gamma(d)
+    include_input_in_enc: bool = True
+    view_head_width: int = 128
+    feature_width: int = 256
+    use_viewdirs: bool = True
+    sigma_activation: str = "relu"  # "relu" | "softplus" | "none" (compat)
+    rgb_activation: str = "sigmoid"
+    # Reference-compat architecture (src/model.rs:45-93).
+    compat: bool = False
+    compat_width: int = 100
+    compat_head_width: int = 50
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Sampling + compositing options."""
+
+    num_samples: int = 64  # coarse samples/ray (reference NUM_POINTS, model.rs:8)
+    num_fine_samples: int = 0  # hierarchical fine samples (paper: 128)
+    randomized: bool = True  # stratified jitter vs midpoints
+    white_background: bool = False  # Blender scenes composite onto white
+    # compat: reproduce the reference's effective t-sampling t = u*far
+    # (precedence quirk at src/ray_sampling.rs:114) and its delta tail
+    # delta_last = far - t_last (src/model.rs:184-187).
+    compat_sampling: bool = False
+    # compat: composite stacked densities as grayscale color with alpha=1
+    # (src/model.rs:190-206) instead of the radiance head output.
+    compat_density_color: bool = False
+    raw_noise_std: float = 0.0  # sigma perturbation regularizer (paper appendix)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + bookkeeping. Flag surface mirrors src/cli.rs:5-66."""
+
+    num_rays: int = 4096  # rays per global batch (reference: 84, model.rs:7)
+    learning_rate: float = 5e-4  # cli.rs:64-65
+    lr_decay_steps: int = 0  # 0 = constant lr (reference behavior)
+    lr_final: float = 5e-6
+    num_iter: int = 50_000  # cli.rs:52-53
+    eval_steps: int = 101  # cli.rs:55-56
+    logging_steps: int = 101  # cli.rs:58-59
+    save_steps: int = 1001  # cli.rs:61-62
+    accumulation_steps: int = 1  # latent in reference (model.rs:327-336)
+    seed: int = 0
+    precision: str = "mixed"  # "f32" | "bf16" | "mixed" (bf16 matmul, f32 master)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection + multiview batch semantics (src/dataset.rs:63-139)."""
+
+    dataset: str = "multiview_png"  # "multiview_png" | "blender" | "sphere" | "flat_sphere"
+    img_dir: str = "data/monkey-128-no-shading-2d-6"  # cli.rs:19-20
+    view_start: int = 0  # cli.rs:22-23
+    view_end: int = 84  # cli.rs:25-26
+    view_step: int = 1  # cli.rs:28-29
+    num_views_per_hemisphere: int = 6  # cli.rs:31-32
+    views_per_batch: int = 4  # number of distinct views sampled per batch
+    prefetch: int = 2  # async host pipeline depth
+    use_native_loader: bool = True  # C++ batch assembler when built
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level run configuration (CLI surface superset of cli.rs:5-66)."""
+
+    debug: bool = False
+    do_train: bool = True
+    eval_on_train: bool = True
+    log_densities_only: bool = False
+    log_dir: str = "logs"  # cli.rs:34-35
+    save_dir: str = "checkpoints"  # cli.rs:37-38
+    load_path: str = ""  # cli.rs:49-50
+    run_name: str = ""
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    # Parallelism: number of data-parallel shards; 0 = all local devices.
+    num_devices: int = 0
+    use_fused_kernel: bool = True
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        def _sub(cls, key):
+            return cls(**d[key]) if key in d and isinstance(d[key], dict) else cls()
+
+        kw = {k: v for k, v in d.items() if not isinstance(v, dict)}
+        # tuples come back as lists from json
+        cam = dict(d.get("camera", {}))
+        for k in ("origin", "at", "up"):
+            if k in cam and isinstance(cam[k], list):
+                cam[k] = tuple(cam[k])
+        return Config(
+            camera=CameraConfig(**cam),
+            model=ModelConfig(**d.get("model", {})),
+            render=RenderConfig(**d.get("render", {})),
+            train=TrainConfig(**d.get("train", {})),
+            data=DataConfig(**d.get("data", {})),
+            **kw,
+        )
+
+    def hparams(self) -> dict:
+        """Numeric hparams for TB logging.
+
+        Union of the reference's CLI-scalar map (cli.rs:68-79) and model
+        consts map (model.rs:15-24) — unlike the reference, floats are
+        not silently dropped.
+        """
+        out = {}
+        flat = {
+            **{f"train/{k}": v for k, v in dataclasses.asdict(self.train).items()},
+            **{f"model/{k}": v for k, v in dataclasses.asdict(self.model).items()},
+            **{f"render/{k}": v for k, v in dataclasses.asdict(self.render).items()},
+            **{f"data/{k}": v for k, v in dataclasses.asdict(self.data).items()},
+        }
+        for k, v in flat.items():
+            if isinstance(v, bool):
+                out[k] = float(v)
+            elif isinstance(v, (int, float)):
+                out[k] = float(v)
+        return out
+
+
+def reference_compat_config() -> Config:
+    """Config reproducing the reference's committed math exactly.
+
+    8x100 no-skip raw-xyz MLP, sigma-as-grayscale compositing, t = u*far
+    sampling, 84-ray/64-sample batches — per SURVEY.md §7 "compat
+    reference" stance (quirks at src/ray_sampling.rs:114,
+    src/model.rs:168-206).
+    """
+    return Config(
+        model=ModelConfig(
+            compat=True,
+            sigma_activation="none",
+            use_viewdirs=False,
+            pos_enc_levels=0,
+            dir_enc_levels=0,
+            include_input_in_enc=True,
+        ),
+        render=RenderConfig(
+            num_samples=64,
+            compat_sampling=True,
+            compat_density_color=True,
+            white_background=False,
+        ),
+        train=TrainConfig(num_rays=84, precision="f32"),
+        use_fused_kernel=False,
+    )

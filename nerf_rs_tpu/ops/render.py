@@ -1,0 +1,194 @@
+"""Differentiable volume rendering (alpha compositing) + full ray renderer.
+
+O(N) transmittance via an exclusive cumulative sum — replacing the
+reference's O(N^2) per-sample prefix re-reduction
+(accumulated_transmittance, src/model.rs:221-241) with
+T_i = exp(-cumsum_excl(sigma*delta)) — and the end-to-end
+rays -> pixels pipeline (sample, encode, MLP, composite) used by both
+training and novel-view rendering.
+
+Weight/color semantics match the reference's eq.(3) implementation
+(src/model.rs:243-246): w_i = T_i * (1 - exp(-sigma_i * delta_i)),
+C = sum_i w_i c_i; capability additions are white-background
+compositing (Blender scenes), depth/acc maps, and hierarchical
+coarse+fine rendering.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, Config, ModelConfig, RenderConfig
+from ..models.mlp import Params, apply_nerf
+from . import sampling
+
+
+class RenderOut(NamedTuple):
+    rgb: jnp.ndarray  # (..., 3) composited color
+    weights: jnp.ndarray  # (..., S) compositing weights
+    sigma: jnp.ndarray  # (..., S) densities (post-activation)
+    depth: jnp.ndarray  # (...,) expected termination depth
+    acc: jnp.ndarray  # (...,) accumulated opacity
+
+
+def composite(
+    sigma: jnp.ndarray,
+    colors: jnp.ndarray,
+    deltas: jnp.ndarray,
+    white_background: bool = False,
+    ts: Optional[jnp.ndarray] = None,
+) -> RenderOut:
+    """Alpha-composite per-sample (sigma, color) into pixel colors.
+
+    Args:
+      sigma: (..., S) densities.
+      colors: (..., S, C) per-sample colors.
+      deltas: (..., S) inter-sample distances (see
+        sampling.deltas_from_ts).
+      white_background: composite onto white using residual
+        transmittance (needed for the Blender synthetic scenes).
+      ts: optional (..., S) sample distances for the depth map.
+
+    T_i = exp(-sum_{j<i} sigma_j delta_j) computed as one exclusive
+    cumsum (the reference re-reduces the prefix per sample — O(S^2),
+    src/model.rs:221-241; this is the O(S) TPU-native form, SURVEY §7
+    step 5).
+    """
+    sd = sigma * deltas
+    accum = jnp.cumsum(sd, axis=-1)
+    excl = accum - sd  # exclusive prefix: sum_{j<i}
+    trans = jnp.exp(-excl)
+    alpha = 1.0 - jnp.exp(-sd)
+    weights = trans * alpha
+    rgb = jnp.sum(weights[..., None] * colors, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    if ts is not None:
+        depth = jnp.sum(weights * ts, axis=-1)
+    else:
+        depth = jnp.zeros_like(acc)
+    if white_background:
+        rgb = rgb + (1.0 - acc[..., None])
+    return RenderOut(rgb=rgb, weights=weights, sigma=sigma, depth=depth, acc=acc)
+
+
+def compat_predict(
+    params: Params,
+    points: jnp.ndarray,
+    ts: jnp.ndarray,
+    model_cfg: ModelConfig,
+    far: float,
+    dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference NeRF::predict semantics (src/model.rs:152-209).
+
+    Evaluates the compat MLP on pre-rotated world points, computes the
+    radiance head output then DISCARDS it (as committed, model.rs:178),
+    and composites stacked raw densities as grayscale color with an
+    alpha=1 channel (model.rs:190-206). Returns ((..., 4) colors,
+    (..., S) densities) like the reference.
+    """
+    sigma, _rgba = apply_nerf(params, points, None, model_cfg, dtype)
+    deltas = sampling.deltas_from_ts(ts, far)
+    ones = jnp.ones_like(sigma)
+    colors = jnp.stack([sigma, sigma, sigma, ones], axis=-1)
+    out = composite(sigma, colors, deltas, white_background=False, ts=ts)
+    return out.rgb, sigma
+
+
+def render_rays(
+    params: Params,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    key: jax.Array,
+    model_cfg: ModelConfig,
+    render_cfg: RenderConfig,
+    camera: CameraConfig,
+    fine_params: Optional[Params] = None,
+    randomized: Optional[bool] = None,
+    dtype=None,
+) -> Tuple[RenderOut, Optional[RenderOut]]:
+    """Full per-ray rendering: sample -> MLP -> composite, with optional
+    hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
+
+    Rays of any leading shape (N,) or (H, W). Returns (coarse, fine)
+    RenderOuts; fine is None when num_fine_samples == 0.
+    """
+    rand = render_cfg.randomized if randomized is None else randomized
+    n_rays_shape = origins.shape[:-1]
+    flat_o = origins.reshape(-1, 3)
+    flat_d = dirs.reshape(-1, 3)
+    n = flat_o.shape[0]
+    k_coarse, k_fine = jax.random.split(key)
+
+    if render_cfg.compat_sampling:
+        ts = sampling.compat_ts(k_coarse, n, render_cfg.num_samples, camera.far, rand)
+    else:
+        ts = sampling.stratified_ts(
+            k_coarse, n, render_cfg.num_samples, camera.near, camera.far, rand
+        )
+
+    viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
+
+    def run_pass(pass_params: Params, ts_pass: jnp.ndarray) -> RenderOut:
+        pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
+        sigma, rgb = apply_nerf(
+            pass_params, pts, viewdirs[..., None, :], model_cfg, dtype
+        )
+        if render_cfg.raw_noise_std > 0.0 and rand:
+            # paper-appendix sigma noise regularizer; keyed off k_fine's fold
+            noise_key = jax.random.fold_in(k_fine, 1)
+            sigma = sigma + render_cfg.raw_noise_std * jax.random.normal(
+                noise_key, sigma.shape
+            )
+            sigma = jax.nn.relu(sigma) if model_cfg.sigma_activation == "relu" else sigma
+        deltas = sampling.deltas_from_ts(ts_pass, camera.far)
+        if render_cfg.compat_density_color:
+            colors = jnp.stack([sigma, sigma, sigma], axis=-1)
+        else:
+            colors = rgb[..., :3]
+        return composite(
+            sigma, colors, deltas,
+            white_background=render_cfg.white_background, ts=ts_pass,
+        )
+
+    coarse = run_pass(params, ts)
+    fine = None
+    if render_cfg.num_fine_samples > 0:
+        mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
+        bins = jnp.concatenate(
+            [ts[..., :1], mids, ts[..., -1:]], axis=-1
+        )  # (N, S+1)
+        fine_ts = sampling.sample_pdf(
+            k_fine, bins, coarse.weights, render_cfg.num_fine_samples, rand
+        )
+        all_ts = sampling.merge_ts(ts, fine_ts)
+        fine = run_pass(fine_params if fine_params is not None else params, all_ts)
+
+    def unflatten(out: RenderOut) -> RenderOut:
+        return RenderOut(
+            rgb=out.rgb.reshape(*n_rays_shape, 3),
+            weights=out.weights.reshape(*n_rays_shape, -1),
+            sigma=out.sigma.reshape(*n_rays_shape, -1),
+            depth=out.depth.reshape(n_rays_shape),
+            acc=out.acc.reshape(n_rays_shape),
+        )
+
+    return unflatten(coarse), (unflatten(fine) if fine is not None else None)
+
+
+def mse(pred: jnp.ndarray, gold: jnp.ndarray) -> jnp.ndarray:
+    """MSE loss (reference mse_loss, src/model.rs:296-299)."""
+    return jnp.mean((pred - gold) ** 2)
+
+
+def psnr_from_mse(m: jnp.ndarray) -> jnp.ndarray:
+    """PSNR in dB for [0,1] images — the quality metric of record
+    (BASELINE.md) the reference never computes."""
+    return -10.0 / jnp.log(10.0) * jnp.log(jnp.maximum(m, 1e-10))
+
+
+def psnr(pred: jnp.ndarray, gold: jnp.ndarray) -> jnp.ndarray:
+    return psnr_from_mse(mse(pred, gold))

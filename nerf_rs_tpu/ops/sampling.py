@@ -1,0 +1,147 @@
+"""Point sampling along rays: stratified, compat, and hierarchical.
+
+TPU-native replacement for the reference's scalar per-ray sampling loop
+(src/ray_sampling.rs:96-142): everything is generated on-device from
+explicit PRNG keys (the reference uses unseeded rand::random,
+src/ray_sampling.rs:110), batched over rays, with static shapes so the
+whole pipeline stays inside one jitted program.
+
+Two sampling modes:
+  * paper: true stratified bins in [near, far] (NeRF eq. 2) — what the
+    reference *intended* (its near plane is silenced by a precedence
+    quirk, src/ray_sampling.rs:114).
+  * compat: t = u * far in [0, far), sorted — the reference's effective
+    behavior, kept for pixel-parity testing (SURVEY.md §7 stance).
+
+Plus inverse-CDF hierarchical resampling (NeRF §5.2) for the fine
+network, which the reference lacks but BASELINE config 3 requires.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_ts(
+    key: jax.Array,
+    num_rays: int,
+    num_samples: int,
+    near: float,
+    far: float,
+    randomized: bool = True,
+) -> jnp.ndarray:
+    """Stratified sample distances: (num_rays, num_samples), sorted.
+
+    Partitions [near, far] into num_samples even bins and draws one
+    uniform sample per bin (NeRF eq. 2). With randomized=False, returns
+    bin midpoints (deterministic eval).
+    """
+    bins = jnp.linspace(near, far, num_samples + 1)
+    lower, upper = bins[:-1], bins[1:]
+    if randomized:
+        u = jax.random.uniform(key, (num_rays, num_samples))
+    else:
+        u = jnp.full((num_rays, num_samples), 0.5)
+    return lower + (upper - lower) * u
+
+
+def compat_ts(
+    key: jax.Array,
+    num_rays: int,
+    num_samples: int,
+    far: float,
+    randomized: bool = True,
+) -> jnp.ndarray:
+    """Reference-compatible sample distances.
+
+    Reproduces src/ray_sampling.rs:107-125 exactly: randomized draws
+    t = u * far over [0, far) then sorts; deterministic uses
+    t = i/n * far (already sorted). The nominal near-plane offset is
+    absent on purpose — ``t *= (T_FAR - HITHER) + HITHER`` parses as
+    ``t * T_FAR`` (the quirk documented in SURVEY.md §2.8).
+    """
+    if randomized:
+        t = jax.random.uniform(key, (num_rays, num_samples)) * far
+        return jnp.sort(t, axis=-1)
+    t = jnp.arange(num_samples, dtype=jnp.float32) / num_samples * far
+    return jnp.broadcast_to(t, (num_rays, num_samples))
+
+
+def deltas_from_ts(ts: jnp.ndarray, far: float) -> jnp.ndarray:
+    """Adjacent-sample distances with the far plane as last exit.
+
+    delta_i = t_{i+1} - t_i, with t_{N} := far appended — the
+    reference's eq.(3) deltas (src/model.rs:184-187). (The original
+    paper uses an effectively-infinite last delta; using ``far`` matches
+    the reference and bounds the last sample's alpha.)
+    """
+    last = jnp.full(ts.shape[:-1] + (1,), far, dtype=ts.dtype)
+    return jnp.concatenate([ts[..., 1:], last], axis=-1) - ts
+
+
+def points_from_ts(
+    origins: jnp.ndarray, dirs: jnp.ndarray, ts: jnp.ndarray
+) -> jnp.ndarray:
+    """World-space sample points o + t*d: (..., S, 3).
+
+    The vectorized form of src/ray_sampling.rs:115 after the pose has
+    already been applied to (o, d) once (see ops/rays.py).
+    """
+    return origins[..., None, :] + ts[..., :, None] * dirs[..., None, :]
+
+
+def sample_pdf(
+    key: jax.Array,
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_samples: int,
+    randomized: bool = True,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of a piecewise-constant ray PDF (NeRF §5.2).
+
+    Used for hierarchical fine-network sampling: ``bins`` (..., B+1) are
+    coarse t-boundaries, ``weights`` (..., B) the coarse compositing
+    weights. Returns (..., num_samples) new ts, sorted. All static
+    shapes; searchsorted vectorizes fine under jit on TPU.
+
+    The reference has no hierarchical sampling; this implements the
+    capability named by BASELINE.json config 3.
+    """
+    weights = weights + eps  # avoid nans on empty rays
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if randomized:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,))
+    else:
+        u = jnp.linspace(0.0, 1.0 - 1e-6, num_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+
+    # searchsorted per ray: index of first cdf entry > u
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
+        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, num_samples)
+    ).reshape(u.shape)
+    below = jnp.maximum(idx - 1, 0)
+    above = jnp.minimum(idx, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    frac = (u - cdf_below) / denom
+    samples = bins_below + frac * (bins_above - bins_below)
+    return jax.lax.stop_gradient(samples)
+
+
+def merge_ts(coarse_ts: jnp.ndarray, fine_ts: jnp.ndarray) -> jnp.ndarray:
+    """Union of coarse+fine sample distances, sorted per ray (NeRF §5.2:
+    the fine network evaluates the combined sample set)."""
+    return jnp.sort(jnp.concatenate([coarse_ts, fine_ts], axis=-1), axis=-1)

@@ -1,0 +1,196 @@
+"""Jitted training step: value_and_grad over the renderer + optax Adam.
+
+TPU-native replacement for the reference's Trainer (src/model.rs:301-346):
+MSE loss (mse_loss, src/model.rs:296-299), Adam at lr 5e-4
+(src/model.rs:306-309), one fused XLA program per step. Gradient
+accumulation — dead code in the reference (grad_accumulation_step,
+src/model.rs:327-336) — is a real option here, folded into the same
+jitted step via lax.scan over micro-batches. Data-parallel gradient
+psum lives in parallel/dp.py; this module is the single-device core it
+wraps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.mlp import Params, init_nerf_params
+from ..ops import render
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # int32 scalar
+    params: Params
+    fine_params: Optional[Params]
+    opt_state: Any
+
+
+class Batch(NamedTuple):
+    """One training batch of rays (device-ready, produced by data/)."""
+
+    origins: jnp.ndarray  # (N, 3)
+    dirs: jnp.ndarray  # (N, 3)
+    gold: jnp.ndarray  # (N, 3) or (N, 4) target pixels
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.lr_decay_steps > 0:
+        sched = optax.exponential_decay(
+            t.learning_rate,
+            t.lr_decay_steps,
+            t.lr_final / t.learning_rate,
+        )
+    else:
+        sched = t.learning_rate  # constant, like the reference
+    return optax.adam(sched)
+
+
+def init_state(key: jax.Array, cfg: Config) -> TrainState:
+    kc, kf = jax.random.split(key)
+    params = init_nerf_params(kc, cfg.model)
+    fine_params = (
+        init_nerf_params(kf, cfg.model) if cfg.render.num_fine_samples > 0 else None
+    )
+    opt = make_optimizer(cfg)
+    trainable = (params, fine_params) if fine_params is not None else params
+    opt_state = opt.init(trainable)
+    return TrainState(jnp.zeros((), jnp.int32), params, fine_params, opt_state)
+
+
+def _matmul_dtype(cfg: Config):
+    p = cfg.train.precision
+    if p in ("bf16", "mixed"):
+        return jnp.bfloat16
+    return None
+
+
+def loss_fn(
+    trainable,
+    batch: Batch,
+    key: jax.Array,
+    cfg: Config,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """MSE of composited colors vs gold pixels; with hierarchical
+    sampling, coarse and fine losses are summed (paper eq. 6)."""
+    if cfg.render.num_fine_samples > 0:
+        params, fine_params = trainable
+    else:
+        params, fine_params = trainable, None
+    coarse, fine = render.render_rays(
+        params,
+        batch.origins,
+        batch.dirs,
+        key,
+        cfg.model,
+        cfg.render,
+        cfg.camera,
+        fine_params=fine_params,
+        dtype=_matmul_dtype(cfg),
+    )
+    gold_rgb = batch.gold[..., :3]
+    loss_c = render.mse(coarse.rgb[..., :3], gold_rgb)
+    loss = loss_c
+    aux = {"loss_coarse": loss_c}
+    if fine is not None:
+        loss_f = render.mse(fine.rgb[..., :3], gold_rgb)
+        loss = loss + loss_f
+        aux["loss_fine"] = loss_f
+        aux["psnr"] = render.psnr_from_mse(loss_f)
+    else:
+        aux["psnr"] = render.psnr_from_mse(loss_c)
+    aux["loss"] = loss
+    return loss, aux
+
+
+def _trainable(state: TrainState, cfg: Config):
+    if cfg.render.num_fine_samples > 0:
+        return (state.params, state.fine_params)
+    return state.params
+
+
+def _untrainable(trainable, cfg: Config):
+    if cfg.render.num_fine_samples > 0:
+        return trainable
+    return (trainable, None)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(
+    state: TrainState, batch: Batch, key: jax.Array, cfg: Config
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step (reference Trainer::step, src/model.rs:311-325),
+    fully on-device. With cfg.train.accumulation_steps > 1, the batch's
+    leading axis is split into micro-batches whose grads are averaged by
+    a lax.scan before the single Adam update."""
+    opt = make_optimizer(cfg)
+    trainable = _trainable(state, cfg)
+    acc = cfg.train.accumulation_steps
+
+    if acc <= 1:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, batch, key, cfg
+        )
+    else:
+        n = batch.origins.shape[0]
+        micro = n // acc
+        mb = jax.tree_util.tree_map(
+            lambda x: x[: micro * acc].reshape(acc, micro, *x.shape[1:]), batch
+        )
+        keys = jax.random.split(key, acc)
+
+        def body(carry, xs):
+            g_sum, l_sum = carry
+            b, k = xs
+            (l, aux_i), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, b, k, cfg
+            )
+            g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+            return (g_sum, l_sum + l), aux_i
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        (g_sum, l_sum), auxs = jax.lax.scan(body, (zero, 0.0), (mb, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / acc, g_sum)
+        loss = l_sum / acc
+        aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+
+    updates, opt_state = opt.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    params, fine_params = _untrainable(trainable, cfg)
+    new_state = TrainState(state.step + 1, params, fine_params, opt_state)
+    return new_state, aux
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_step(
+    state: TrainState, batch: Batch, key: jax.Array, cfg: Config
+) -> Dict[str, jnp.ndarray]:
+    """Deterministic (midpoint-sampled) evaluation pass."""
+    trainable = _trainable(state, cfg)
+    coarse, fine = render.render_rays(
+        state.params,
+        batch.origins,
+        batch.dirs,
+        key,
+        cfg.model,
+        cfg.render,
+        cfg.camera,
+        fine_params=state.fine_params,
+        randomized=False,
+        dtype=_matmul_dtype(cfg),
+    )
+    out = fine if fine is not None else coarse
+    m = render.mse(out.rgb[..., :3], batch.gold[..., :3])
+    return {
+        "mse": m,
+        "psnr": render.psnr_from_mse(m),
+        "rgb": out.rgb,
+        "depth": out.depth,
+        "acc": out.acc,
+    }

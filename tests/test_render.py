@@ -1,0 +1,102 @@
+"""Volume rendering tests: golden hand-computed compositing, O(N) vs
+the reference's O(N^2) formulation, white background, and the full
+render_rays pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import CameraConfig, ModelConfig, RenderConfig
+from nerf_rs_tpu.models.mlp import init_nerf_params
+from nerf_rs_tpu.ops import rays, render
+
+
+def _reference_composite_numpy(sigma, colors, deltas):
+    """The reference's math verbatim (src/model.rs:221-249):
+    T_i = exp(-sum_{j<i} sigma_j*delta_j) re-reduced per i (O(N^2)),
+    w_i = T_i*(1-exp(-sigma_i*delta_i)), C = sum w_i c_i."""
+    n_rays, n_pts = sigma.shape
+    T = np.ones((n_rays, n_pts))
+    for i in range(1, n_pts):
+        T[:, i] = np.exp(-(sigma[:, :i] * deltas[:, :i]).sum(-1))
+    w = T * (1.0 - np.exp(-sigma * deltas))
+    return (w[..., None] * colors).sum(1), w
+
+
+def test_composite_matches_reference_formula():
+    rng = np.random.RandomState(0)
+    sigma = rng.uniform(-0.5, 2.0, (8, 16)).astype(np.float32)  # incl. negative (compat)
+    colors = rng.uniform(0, 1, (8, 16, 3)).astype(np.float32)
+    deltas = rng.uniform(0.01, 0.2, (8, 16)).astype(np.float32)
+    want_rgb, want_w = _reference_composite_numpy(sigma, colors, deltas)
+    out = render.composite(jnp.asarray(sigma), jnp.asarray(colors), jnp.asarray(deltas))
+    np.testing.assert_allclose(np.asarray(out.rgb), want_rgb, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.weights), want_w, atol=1e-5)
+
+
+def test_composite_golden_hand_computed():
+    # 1 ray, 3 samples, hand-computed transmittance
+    sigma = jnp.array([[1.0, 2.0, 0.5]])
+    deltas = jnp.array([[0.1, 0.2, 0.3]])
+    colors = jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]])
+    T1, T2, T3 = 1.0, np.exp(-0.1), np.exp(-0.1 - 0.4)
+    a1, a2, a3 = 1 - np.exp(-0.1), 1 - np.exp(-0.4), 1 - np.exp(-0.15)
+    want = np.array([[T1 * a1, T2 * a2, T3 * a3]])
+    out = render.composite(sigma, colors, deltas)
+    np.testing.assert_allclose(np.asarray(out.weights), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rgb), want, atol=1e-5)  # identity colors
+
+
+def test_white_background():
+    sigma = jnp.zeros((2, 4))
+    colors = jnp.zeros((2, 4, 3))
+    deltas = jnp.full((2, 4), 0.25)
+    out = render.composite(sigma, colors, deltas, white_background=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-6)  # empty -> white
+    assert float(out.acc.max()) == 0.0
+
+
+def test_opaque_wall_depth():
+    # huge density at sample 2 => depth ~ t2, acc ~ 1
+    ts = jnp.array([[0.5, 1.0, 1.5, 2.0]])
+    sigma = jnp.array([[0.0, 1000.0, 0.0, 0.0]])
+    deltas = jnp.array([[0.5, 0.5, 0.5, 0.5]])
+    colors = jnp.ones((1, 4, 3)) * 0.5
+    out = render.composite(sigma, colors, deltas, ts=ts)
+    assert abs(float(out.depth[0]) - 1.0) < 1e-3
+    assert abs(float(out.acc[0]) - 1.0) < 1e-5
+
+
+def test_render_rays_shapes_and_fine():
+    cam = CameraConfig()
+    mcfg = ModelConfig(net_width=32, net_depth=3, skip_layer=2, feature_width=32, view_head_width=16)
+    rcfg = RenderConfig(num_samples=8, num_fine_samples=16)
+    params = init_nerf_params(jax.random.PRNGKey(0), mcfg)
+    pose = rays.pose_from_yaw_pitch(jnp.float32(0.2), jnp.float32(0.1))
+    o, d = rays.rays_for_coords(jnp.array([[1.0, 2.0], [3.0, 4.0]]), pose, cam)
+    coarse, fine = render.render_rays(
+        params, o, d, jax.random.PRNGKey(1), mcfg, rcfg, cam
+    )
+    assert coarse.rgb.shape == (2, 3)
+    assert coarse.weights.shape == (2, 8)
+    assert fine.rgb.shape == (2, 3)
+    assert fine.weights.shape == (2, 24)  # coarse+fine merged
+    assert np.isfinite(np.asarray(fine.rgb)).all()
+
+
+def test_render_rays_grid_input():
+    cam = CameraConfig(width=8, height=8)
+    mcfg = ModelConfig(net_width=16, net_depth=2, skip_layer=99, feature_width=16, view_head_width=8)
+    rcfg = RenderConfig(num_samples=4)
+    params = init_nerf_params(jax.random.PRNGKey(0), mcfg)
+    o, d = rays.ray_grid(None, cam)
+    coarse, fine = render.render_rays(
+        params, o, d, jax.random.PRNGKey(1), mcfg, rcfg, cam, randomized=False
+    )
+    assert coarse.rgb.shape == (8, 8, 3)
+    assert fine is None
+
+
+def test_psnr():
+    m = jnp.float32(0.01)
+    assert abs(float(render.psnr_from_mse(m)) - 20.0) < 1e-4
