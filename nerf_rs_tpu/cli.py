@@ -1,0 +1,226 @@
+"""CLI: ``train`` and ``render`` subcommands preserving the reference's
+16-flag surface (src/cli.rs:5-66) and extending it with the model/render
+knobs that were compile-time consts in the reference (src/model.rs:7-13).
+
+  python -m nerf_rs_tpu.cli train --dataset sphere --num_iter 1000
+  python -m nerf_rs_tpu.cli render --load_path ckpt.msgpack --frames 40
+
+The reference's bare binary both trains and displays; here ``render``
+is the explicit novel-view entry point (the capability of the
+commented draw_valid_predictions, src/display.rs:55-94, and the
+40-frame spherical sweep of BASELINE config 4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _bool_flag(p, name, default, help=""):
+    p.add_argument(
+        f"--{name}",
+        type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=default,
+        help=help + f" (default {default})",
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nerf_rs_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    # --- the reference's 16 flags (src/cli.rs:5-66) ---
+    _bool_flag(common, "debug", False, "render gold instead of predictions")
+    _bool_flag(common, "do_train", True)
+    _bool_flag(common, "eval_on_train", True)
+    _bool_flag(common, "log_densities_only", False)
+    common.add_argument("--img_dir", default="data/monkey-128-no-shading-2d-6")
+    common.add_argument("--view_start", type=int, default=0)
+    common.add_argument("--view_end", type=int, default=84)
+    common.add_argument("--view_step", type=int, default=1)
+    common.add_argument("--num_views_per_hemisphere", type=int, default=6)
+    common.add_argument("--log_dir", default="logs")
+    common.add_argument("--save_dir", default="checkpoints")
+    common.add_argument("--load_path", default="")
+    common.add_argument("--num_iter", type=int, default=50_000)
+    common.add_argument("--eval_steps", type=int, default=101)
+    common.add_argument("--logging_steps", type=int, default=101)
+    common.add_argument("--save_steps", type=int, default=1001)
+    common.add_argument("--learning_rate", type=float, default=5e-4)
+    # --- rebuild extensions ---
+    common.add_argument(
+        "--dataset",
+        default="multiview_png",
+        choices=["multiview_png", "blender", "sphere", "flat_sphere"],
+    )
+    common.add_argument("--width", type=int, default=128)
+    common.add_argument("--height", type=int, default=128)
+    common.add_argument("--near", type=float, default=0.05)
+    common.add_argument("--far", type=float, default=2.0)
+    common.add_argument("--num_rays", type=int, default=4096)
+    common.add_argument("--num_samples", type=int, default=64)
+    common.add_argument("--num_fine_samples", type=int, default=0)
+    _bool_flag(common, "white_background", False)
+    common.add_argument("--accumulation_steps", type=int, default=1)
+    common.add_argument("--precision", default="mixed", choices=["f32", "bf16", "mixed"])
+    common.add_argument("--seed", type=int, default=0)
+    common.add_argument("--num_devices", type=int, default=0)
+    common.add_argument("--run_name", default="")
+    _bool_flag(common, "compat", False, "reference-compat math (8x100 MLP, sigma-grayscale)")
+    _bool_flag(common, "use_fused_kernel", True)
+
+    sub.add_parser("train", parents=[common])
+
+    pr = sub.add_parser("render", parents=[common])
+    pr.add_argument("--frames", type=int, default=40, help="spherical sweep length")
+    pr.add_argument("--pitch", type=float, default=math.pi / 6)
+    pr.add_argument("--out_dir", default="renders")
+    pr.add_argument("--view", type=int, default=-1, help="render one dataset view instead of a sweep")
+    return p
+
+
+def config_from_args(args) -> "Config":
+    from .config import (
+        CameraConfig,
+        Config,
+        DataConfig,
+        ModelConfig,
+        RenderConfig,
+        TrainConfig,
+        reference_compat_config,
+    )
+
+    if args.compat:
+        base = reference_compat_config()
+        model, render_cfg = base.model, base.render
+        render_cfg = dataclasses.replace(
+            render_cfg, num_samples=args.num_samples,
+        )
+    else:
+        model = ModelConfig()
+        render_cfg = RenderConfig(
+            num_samples=args.num_samples,
+            num_fine_samples=args.num_fine_samples,
+            white_background=args.white_background,
+        )
+    return Config(
+        debug=args.debug,
+        do_train=args.do_train,
+        eval_on_train=args.eval_on_train,
+        log_densities_only=args.log_densities_only,
+        log_dir=args.log_dir,
+        save_dir=args.save_dir,
+        load_path=args.load_path,
+        run_name=args.run_name,
+        camera=CameraConfig(
+            width=args.width, height=args.height, near=args.near, far=args.far
+        ),
+        model=model,
+        render=render_cfg,
+        train=TrainConfig(
+            num_rays=args.num_rays,
+            learning_rate=args.learning_rate,
+            num_iter=args.num_iter,
+            eval_steps=args.eval_steps,
+            logging_steps=args.logging_steps,
+            save_steps=args.save_steps,
+            accumulation_steps=args.accumulation_steps,
+            seed=args.seed,
+            precision=args.precision,
+        ),
+        data=DataConfig(
+            dataset=args.dataset,
+            img_dir=args.img_dir,
+            view_start=args.view_start,
+            view_end=args.view_end,
+            view_step=args.view_step,
+            num_views_per_hemisphere=args.num_views_per_hemisphere,
+        ),
+        num_devices=args.num_devices,
+        use_fused_kernel=args.use_fused_kernel,
+    )
+
+
+def cmd_train(args) -> int:
+    from .train.loop import train
+
+    cfg = config_from_args(args)
+    state = train(cfg)
+    print(f"done at step {int(state.step)}")
+    return 0
+
+
+def cmd_render(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .data.factory import make_dataset
+    from .ops import rays as rays_ops, render as render_ops
+    from .parallel import dp, mesh as mesh_mod
+    from .train import checkpoint as ckpt
+    from .train.loop import render_frame
+    from .train.step import init_state
+    from .data.images import save_png
+
+    cfg = config_from_args(args)
+    mesh = mesh_mod.make_mesh(cfg.num_devices)
+    dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
+    cfg = dataclasses.replace(cfg, camera=dataset.camera)
+
+    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    if load_path:
+        state = ckpt.restore(load_path, state)
+        print(f"loaded {load_path} (step {int(state.step)})")
+    else:
+        print("warning: no checkpoint found; rendering an untrained field")
+    state = dp.place_state(state, mesh)
+    render_fn = dp.make_dp_render(cfg, mesh)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.time()
+    if args.view >= 0:
+        o, d = dataset.view_rays(args.view)
+        rgb, depth, acc = render_frame(cfg, state, o, d, mesh, render_fn)
+        gold = dataset.view_gold(args.view)
+        psnr = float(render_ops.psnr(rgb, gold))
+        path = os.path.join(args.out_dir, f"view-{args.view}.png")
+        save_png(path, np.asarray(rgb))
+        print(f"{path}  psnr={psnr:.2f}  ({time.time()-t0:.2f}s)")
+        return 0
+
+    # 40-frame spherical sweep (BASELINE config 4)
+    path_angles = rays_ops.spherical_render_path(args.frames, args.pitch)
+    for i in range(args.frames):
+        yaw, pitch = path_angles[i]
+        pose = rays_ops.pose_from_yaw_pitch(yaw, pitch)
+        o, d = rays_ops.ray_grid(pose, cfg.camera)
+        rgb, _, _ = render_frame(cfg, state, o, d, mesh, render_fn)
+        save_png(os.path.join(args.out_dir, f"frame-{i:03d}.png"), np.asarray(rgb))
+    dt = time.time() - t0
+    print(
+        f"rendered {args.frames} frames of {cfg.camera.width}x{cfg.camera.height} "
+        f"in {dt:.2f}s ({dt/args.frames:.3f}s/frame)"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "train":
+        return cmd_train(args)
+    if args.cmd == "render":
+        return cmd_render(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,135 @@
+"""Data-parallel training + rendering over a device mesh.
+
+shard_map-wrapped versions of the single-device train/eval cores
+(train/step.py): each shard computes grads on its local slice of the
+ray batch, grads are psum-averaged over ICI, and the (replicated)
+optimizer update is applied identically everywhere — the classic DP
+recipe named in SURVEY §5.8. Per-shard PRNG keys are folded with the
+shard index so stratified samples differ across chips.
+
+Full-frame novel-view rendering shards pixel tiles along the same axis
+(render_sharded); XLA all-gathers the frame on the way out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..models.mlp import Params
+from ..ops import render
+from ..train import step as step_mod
+from ..train.step import Batch, TrainState
+from .mesh import DATA_AXIS, batch_sharding, num_shards, replicated_sharding
+
+
+def make_dp_train_step(cfg: Config, mesh: Mesh):
+    """Build the jitted DP train step: (state, batch, key) -> (state, aux).
+
+    state is replicated, batch is sharded on rays. Grad psum happens
+    inside shard_map; Adam runs redundantly-replicated (cheap: ~600k
+    params) so no parameter collective is needed.
+    """
+    opt = step_mod.make_optimizer(cfg)
+    nshards = num_shards(mesh)
+    acc = cfg.train.accumulation_steps
+
+    def _local_grads(trainable, batch: Batch, key: jax.Array):
+        """Per-shard (possibly micro-batched) gradient computation."""
+        if acc <= 1:
+            (loss, aux), grads = jax.value_and_grad(
+                step_mod.loss_fn, has_aux=True
+            )(trainable, batch, key, cfg)
+            return grads, aux
+        n = batch.origins.shape[0]
+        micro = n // acc
+        mb = jax.tree_util.tree_map(
+            lambda x: x[: micro * acc].reshape(acc, micro, *x.shape[1:]), batch
+        )
+        keys = jax.random.split(key, acc)
+
+        def body(g_sum, xs):
+            b, k = xs
+            (_, aux_i), g = jax.value_and_grad(step_mod.loss_fn, has_aux=True)(
+                trainable, b, k, cfg
+            )
+            return jax.tree_util.tree_map(jnp.add, g_sum, g), aux_i
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        g_sum, auxs = jax.lax.scan(body, zero, (mb, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / acc, g_sum)
+        aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+        return grads, aux
+
+    def _step(state: TrainState, batch: Batch, key: jax.Array):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard)
+        trainable = step_mod._trainable(state, cfg)
+        grads, aux = _local_grads(trainable, batch, key)
+        # ICI gradient sync — mean over shards (each shard already
+        # averaged over its local rays, shards hold equal ray counts)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        aux = jax.lax.pmean(aux, DATA_AXIS)
+        updates, opt_state = opt.update(grads, state.opt_state, trainable)
+        import optax
+
+        trainable = optax.apply_updates(trainable, updates)
+        params, fine_params = step_mod._untrainable(trainable, cfg)
+        return TrainState(state.step + 1, params, fine_params, opt_state), aux
+
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_render(cfg: Config, mesh: Mesh, camera=None):
+    """Sharded full-frame renderer: rays split across chips, frame
+    gathered — the <2 s 800x800 novel-view path (BASELINE north star).
+
+    Returns fn(params, fine_params, origins, dirs, key) -> (rgb, depth,
+    acc) over flat ray arrays (caller reshapes to HxW); ray count must
+    divide the mesh size (use mesh.pad_to_shards + trim).
+    """
+    camera = camera or cfg.camera
+    dtype = step_mod._matmul_dtype(cfg)
+
+    def _render(params, fine_params, origins, dirs, key):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard)
+        coarse, fine = render.render_rays(
+            params, origins, dirs, key, cfg.model, cfg.render, camera,
+            fine_params=fine_params, randomized=False, dtype=dtype,
+        )
+        out = fine if fine is not None else coarse
+        return out.rgb, out.depth, out.acc
+
+    in_fine = P() if cfg.render.num_fine_samples > 0 else None
+    sharded = jax.shard_map(
+        _render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate the train state across the mesh."""
+    rep = replicated_sharding(mesh)
+    return jax.device_put(state, rep)
+
+
+def place_batch(batch: Batch, mesh: Mesh) -> Batch:
+    """Shard a ray batch along the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))

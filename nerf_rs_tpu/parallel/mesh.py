@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers.
+
+The reference has no parallelism of any kind (SURVEY §2.12-bis: one
+thread, one Metal GPU). The TPU-native scaling story (SURVEY §5.8) is a
+1-D mesh over the 'data' axis: ray batches sharded per chip, params
+replicated (the MLP is ~2.4 MB — pure DP, no FSDP/TP needed), psum
+gradient sync over ICI. Full-frame renders shard pixel tiles over the
+same axis.
+
+Multi-host: call jax.distributed.initialize() before make_mesh() (see
+parallel/dist_init.py); the mesh then spans all processes' devices and
+the same shardings ride ICI intra-slice / DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (0 = all). Works identically for 1 real chip, a v5e-8 slice, or 8
+    virtual CPU devices in tests."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        assert num_devices <= len(devices), (
+            f"requested {num_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_spec() -> P:
+    """Rays sharded along the data axis."""
+    return P(DATA_AXIS)
+
+
+def replicated_spec() -> P:
+    return P()
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def num_shards(mesh: Mesh) -> int:
+    return mesh.shape[DATA_AXIS]
+
+
+def pad_to_shards(n: int, mesh: Mesh) -> int:
+    """Smallest multiple of the mesh size >= n (batches must divide
+    evenly across shards)."""
+    k = num_shards(mesh)
+    return ((n + k - 1) // k) * k

@@ -1,0 +1,66 @@
+"""Checkpoint save/restore: params + optimizer state + step.
+
+The reference saves libtorch VarStore archives named
+``checkpoints/checkpoint-{unix_ts}-{iter}.ot`` (src/main.rs:81-83,
+src/model.rs:211-217) and resumes via --load_path — but drops optimizer
+state and the step counter (SURVEY §3.4: Adam moments reset on resume).
+Here the full TrainState round-trips (msgpack pytree via
+flax.serialization), the name pattern is preserved
+(``checkpoint-{unix_ts}-{iter}.msgpack``), and ``latest_checkpoint``
+enables auto-resume-from-latest (SURVEY §5.3 rebuild plan).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .step import TrainState
+
+_CKPT_RE = re.compile(r"checkpoint-(\d+)-(\d+)\.msgpack$")
+
+
+def checkpoint_path(save_dir: str, step: int, ts: Optional[int] = None) -> str:
+    ts = int(time.time()) if ts is None else ts
+    return os.path.join(save_dir, f"checkpoint-{ts}-{step}.msgpack")
+
+
+def save(state: TrainState, save_dir: str, ts: Optional[int] = None) -> str:
+    """Write the full TrainState; returns the path."""
+    os.makedirs(save_dir, exist_ok=True)
+    host_state = jax.device_get(state)
+    path = checkpoint_path(save_dir, int(host_state.step), ts)
+    data = serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+    return path
+
+
+def restore(path: str, template: TrainState) -> TrainState:
+    """Load into the structure of ``template`` (a freshly-initialized
+    state for the same Config)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Most recent checkpoint by (timestamp, step), or None."""
+    if not os.path.isdir(save_dir):
+        return None
+    best = None
+    for name in os.listdir(save_dir):
+        m = _CKPT_RE.search(name)
+        if m:
+            key = (int(m.group(1)), int(m.group(2)))
+            if best is None or key > best[0]:
+                best = (key, os.path.join(save_dir, name))
+    return best[1] if best else None

@@ -1,0 +1,179 @@
+"""The training driver: trainer owns iteration; eval/logging/checkpoint
+are step-counter hooks.
+
+Inverts the reference's control flow (SURVEY §1: minifb's redraw
+callback IS the training loop, src/main.rs:56-116 + src/display.rs:19-23)
+— a TPU host has no display, so train() owns the loop and headless
+PNG/TensorBoard output replaces the live window. Hook semantics match
+the reference exactly: fire when ``iter % N == 0`` for
+eval_steps/logging_steps/save_steps (src/main.rs:63,81,85).
+
+--debug renders the GOLD view instead of predictions at eval steps (the
+reference's data-pipeline eyeball mode, src/main.rs:99-106);
+--eval_on_train evaluates on a training view (src/cli.rs:13-14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.factory import make_dataset
+from ..ops import render as render_ops
+from ..parallel import dp, mesh as mesh_mod
+from ..utils.profiling import Throughput
+from ..utils.tb import TBLogger
+from ..utils.term import sparkline
+from . import checkpoint as ckpt
+from .step import Batch, TrainState, init_state
+
+
+def _effective_config(cfg: Config, dataset) -> Config:
+    """Adopt the dataset's camera (Blender scenes carry their own
+    intrinsics)."""
+    if dataset.camera is not cfg.camera:
+        return dataclasses.replace(cfg, camera=dataset.camera)
+    return cfg
+
+
+def render_frame(
+    cfg: Config,
+    state: TrainState,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    mesh,
+    render_fn=None,
+    key: Optional[jax.Array] = None,
+    chunk: int = 65536,
+):
+    """Full-frame render via the sharded renderer, chunked to bound
+    memory: (H, W) rays -> (H, W, 3) rgb, (H, W) depth, (H, W) acc."""
+    h, w = origins.shape[:2]
+    flat_o = origins.reshape(-1, 3)
+    flat_d = dirs.reshape(-1, 3)
+    n = flat_o.shape[0]
+    if render_fn is None:
+        render_fn = dp.make_dp_render(cfg, mesh)
+    key = jax.random.PRNGKey(0) if key is None else key
+    npad = mesh_mod.pad_to_shards(min(chunk, n), mesh)
+    rgbs, depths, accs = [], [], []
+    for s in range(0, n, npad):
+        o = flat_o[s : s + npad]
+        d = flat_d[s : s + npad]
+        m = o.shape[0]
+        if m < npad:  # pad the tail chunk to the static sharded shape
+            o = jnp.concatenate([o, jnp.zeros((npad - m, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((npad - m, 3), d.dtype)])
+        rgb, depth, acc = render_fn(state.params, state.fine_params or state.params, o, d, key)
+        rgbs.append(rgb[:m])
+        depths.append(depth[:m])
+        accs.append(acc[:m])
+    rgb = jnp.concatenate(rgbs).reshape(h, w, 3)
+    depth = jnp.concatenate(depths).reshape(h, w)
+    acc = jnp.concatenate(accs).reshape(h, w)
+    return rgb, depth, acc
+
+
+def train(
+    cfg: Config,
+    dataset=None,
+    on_step: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    """Run the full training loop; returns the final TrainState."""
+    mesh = mesh_mod.make_mesh(cfg.num_devices)
+    nchips = mesh_mod.num_shards(mesh)
+    if dataset is None:
+        dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
+    cfg = _effective_config(cfg, dataset)
+
+    run_id = cfg.run_name or str(int(time.time()))
+    tb = TBLogger(cfg.log_dir, run_id)
+    tb.hparams(cfg.hparams())
+    run_dir = tb.dir
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = init_state(key, cfg)
+    # resume: explicit --load_path wins; else latest in save_dir
+    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    if load_path:
+        state = ckpt.restore(load_path, state)
+        print(f"resumed from {load_path} at step {int(state.step)}")
+    state = dp.place_state(state, mesh)
+
+    step_fn = dp.make_dp_train_step(cfg, mesh)
+    render_fn = dp.make_dp_render(cfg, mesh)
+
+    num_rays = mesh_mod.pad_to_shards(cfg.train.num_rays, mesh)
+    thr = Throughput(num_rays, cfg.render.num_samples +
+                     cfg.render.num_fine_samples, nchips)
+    losses = []
+    start = int(state.step)
+    t_loss = None
+
+    if not cfg.do_train:
+        return jax.device_get(state)
+
+    for it in range(start, cfg.train.num_iter):
+        k = jax.random.fold_in(key, it)
+        batch = dataset.sample_batch(jax.random.fold_in(k, 0), num_rays)
+        batch = dp.place_batch(batch, mesh)
+        state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
+
+        # --- per-iter terminal + TB loss (reference main.rs:73-74) ---
+        if t_loss is not None:
+            loss = float(t_loss)
+            losses.append(loss)
+            tb.scalars({"loss": loss}, it - 1)
+        t_loss = aux["loss"]  # delay host sync one step to keep device busy
+
+        if it % 50 == 0 and losses:
+            print(f"iter={it}, loss={losses[-1]:.6f}  {sparkline(losses[-200:])}")
+
+        # --- logging hook (mod semantics of main.rs:63) ---
+        if it % cfg.train.logging_steps == 0 and it > 0:
+            stats = thr.stats()
+            tb.scalars(stats, it)
+            tb.scalars({"psnr_train": float(aux["psnr"])}, it)
+            thr.reset()
+            if on_step:
+                on_step(it, {**stats, "loss": losses[-1] if losses else float("nan")})
+
+        # --- eval hook: render a frame (main.rs:85-106) ---
+        if cfg.eval_on_train and it % cfg.train.eval_steps == 0 and it > 0:
+            eval_view = 0
+            o, d = dataset.view_rays(eval_view)
+            rgb, depth, acc = render_frame(cfg, state, o, d, mesh, render_fn)
+            gold = dataset.view_gold(eval_view)
+            m = render_ops.mse(rgb, gold)
+            psnr = float(render_ops.psnr_from_mse(m))
+            tb.scalars({"psnr_eval": psnr, "mse_eval": float(m)}, it)
+            if cfg.debug:
+                # --debug: show gold, to eyeball the data pipeline
+                tb.image("prediction", np.asarray(gold), it)
+            elif not cfg.log_densities_only:
+                tb.image("prediction", np.asarray(rgb), it)
+                tb.image("depth", np.asarray(depth / jnp.maximum(depth.max(), 1e-6)), it)
+            print(f"iter={it}, eval psnr={psnr:.2f}")
+
+        # --- checkpoint hook (main.rs:81-83) ---
+        if it % cfg.train.save_steps == 0 and it > 0:
+            path = ckpt.save(state, cfg.save_dir)
+            print(f"saved {path}")
+
+        thr.tick()
+
+    if t_loss is not None:
+        tb.scalars({"loss": float(t_loss)}, cfg.train.num_iter - 1)
+    ckpt.save(state, cfg.save_dir)
+    tb.flush()
+    tb.close()
+    return jax.device_get(state)

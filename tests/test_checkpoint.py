@@ -1,0 +1,72 @@
+"""Checkpoint round-trip: params + optimizer state + step survive
+save/restore (the reference loses Adam moments and the step counter,
+SURVEY §3.4 — we must not)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import CameraConfig, Config, ModelConfig, RenderConfig, TrainConfig
+from nerf_rs_tpu.data import synthetic
+from nerf_rs_tpu.ops import rays
+from nerf_rs_tpu.train import Batch, checkpoint as ckpt, init_state, train_step
+
+
+def _cfg():
+    return Config(
+        camera=CameraConfig(width=16, height=16),
+        model=ModelConfig(net_depth=2, net_width=16, skip_layer=9, feature_width=16, view_head_width=8, pos_enc_levels=2, dir_enc_levels=1),
+        render=RenderConfig(num_samples=8),
+        train=TrainConfig(num_rays=32, precision="f32"),
+    )
+
+
+def _batch(cfg, key):
+    coords = jax.random.uniform(key, (32, 2)) * 15.0
+    o, d = rays.rays_for_coords(coords, None, cfg.camera)
+    img = synthetic.sphere_image(cfg.camera)
+    gold = img[coords[:, 1].astype(jnp.int32), coords[:, 0].astype(jnp.int32), :3]
+    return Batch(o, d, gold)
+
+
+def test_roundtrip_preserves_everything(tmp_path):
+    cfg = _cfg()
+    key = jax.random.PRNGKey(0)
+    state = init_state(key, cfg)
+    for i in range(3):
+        state, _ = train_step(state, _batch(cfg, jax.random.fold_in(key, i)), key, cfg)
+    path = ckpt.save(state, str(tmp_path), ts=1234)
+    assert os.path.basename(path) == "checkpoint-1234-3.msgpack"
+
+    fresh = init_state(jax.random.PRNGKey(9), cfg)  # different seed
+    restored = ckpt.restore(path, fresh)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["trunk"][0]["w"]),
+        np.asarray(state.params["trunk"][0]["w"]),
+    )
+    # optimizer moments restored (leaf-wise equality over the whole tree)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.opt_state),
+        jax.tree_util.tree_leaves(state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training continues identically from restored vs original
+    nb = _batch(cfg, jax.random.fold_in(key, 50))
+    s1, a1 = train_step(state, nb, key, cfg)
+    s2, a2 = train_step(restored, nb, key, cfg)
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]), rtol=1e-6)
+
+
+def test_latest_checkpoint(tmp_path):
+    cfg = _cfg()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    assert ckpt.latest_checkpoint(str(tmp_path)) is None
+    ckpt.save(state, str(tmp_path), ts=100)
+    state = state._replace(step=state.step + 5)
+    p2 = ckpt.save(state, str(tmp_path), ts=200)
+    assert ckpt.latest_checkpoint(str(tmp_path)) == p2
+    assert ckpt.latest_checkpoint(str(tmp_path) + "/nope") is None

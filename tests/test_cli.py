@@ -1,0 +1,70 @@
+"""CLI smoke tests: the train subcommand runs a short real training on
+the file-free sphere dataset (8 virtual CPU devices), checkpoints, and
+the render subcommand produces frames from that checkpoint."""
+
+import os
+
+import numpy as np
+
+from nerf_rs_tpu.cli import build_parser, config_from_args, main
+
+
+def test_flag_surface_defaults():
+    # the reference's 16 flags all parse with its defaults (src/cli.rs:5-66)
+    args = build_parser().parse_args(["train"])
+    assert args.img_dir == "data/monkey-128-no-shading-2d-6"
+    assert args.view_end == 84
+    assert args.num_views_per_hemisphere == 6
+    assert args.num_iter == 50_000
+    assert args.eval_steps == 101
+    assert args.logging_steps == 101
+    assert args.save_steps == 1001
+    assert args.learning_rate == 5e-4
+    assert args.log_dir == "logs"
+    assert args.save_dir == "checkpoints"
+    assert args.load_path == ""
+    cfg = config_from_args(args)
+    assert cfg.train.num_iter == 50_000
+
+
+def test_compat_flag_builds_reference_math():
+    args = build_parser().parse_args(["train", "--compat", "true"])
+    cfg = config_from_args(args)
+    assert cfg.model.compat
+    assert cfg.render.compat_sampling
+    assert cfg.render.compat_density_color
+    assert cfg.model.sigma_activation == "none"
+
+
+def test_train_then_render_end_to_end(tmp_path):
+    log_dir = str(tmp_path / "logs")
+    save_dir = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "renders")
+    common = [
+        "--dataset", "sphere",
+        "--width", "24", "--height", "24",
+        "--num_rays", "128", "--num_samples", "8",
+        "--num_views_per_hemisphere", "2",
+        "--log_dir", log_dir, "--save_dir", save_dir,
+        "--precision", "f32",
+        "--eval_steps", "10", "--logging_steps", "10", "--save_steps", "15",
+    ]
+    rc = main(["train", *common, "--num_iter", "16", "--learning_rate", "5e-3"])
+    assert rc == 0
+    ckpts = os.listdir(save_dir)
+    assert any(c.startswith("checkpoint-") for c in ckpts)
+    # TB run dir with config.json exists
+    runs = os.listdir(log_dir)
+    assert len(runs) == 1
+    assert os.path.exists(os.path.join(log_dir, runs[0], "config.json"))
+
+    rc = main([
+        "render", *common, "--frames", "2", "--out_dir", out_dir,
+    ])
+    assert rc == 0
+    frames = sorted(os.listdir(out_dir))
+    assert frames == ["frame-000.png", "frame-001.png"]
+
+    rc = main(["render", *common, "--view", "1", "--out_dir", out_dir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "view-1.png"))
