@@ -1,0 +1,106 @@
+"""Benchmark of record: steady-state training throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "train_ray_samples_per_sec_per_chip", "value": N,
+   "unit": "samples/s", "vs_baseline": N / 20e6, ...}
+
+vs_baseline is measured against the driver's north-star target of
+20M ray-samples/sec/chip (BASELINE.json) — the reference itself
+publishes no numbers (BASELINE.md). Also reports novel-view render
+time for an 800x800 frame as a secondary field.
+
+Flagship config: paper NeRF (PE L=10/4, 8x256+skip, view head),
+stratified 64 samples/ray, 4096-ray batches, mixed precision
+(bf16 matmuls, f32 master) — BASELINE config 2.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nerf_rs_tpu.config import CameraConfig, Config, RenderConfig, TrainConfig
+    from nerf_rs_tpu.data import synthetic
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset
+    from nerf_rs_tpu.ops import rays as rays_ops
+    from nerf_rs_tpu.parallel import dp, mesh as mesh_mod
+    from nerf_rs_tpu.train.step import init_state
+    from nerf_rs_tpu.train.loop import render_frame
+    import numpy as np
+
+    num_rays = 4096
+    num_samples = 64
+    cfg = Config(
+        camera=CameraConfig(width=128, height=128),
+        render=RenderConfig(num_samples=num_samples),
+        train=TrainConfig(num_rays=num_rays, precision="mixed"),
+    )
+    mesh = mesh_mod.make_mesh()
+    nchips = mesh_mod.num_shards(mesh)
+
+    n_views = 84
+    imgs = np.asarray(synthetic.sphere_scene_images(cfg.camera, n_views))
+    angles = np.asarray(rays_ops.view_angle_grid(6))
+    ds = DeviceDataset(imgs, cfg.camera, angles=angles,
+                       sharding=mesh_mod.replicated_sharding(mesh))
+
+    key = jax.random.PRNGKey(0)
+    state = dp.place_state(init_state(key, cfg), mesh)
+    step_fn = dp.make_dp_train_step(cfg, mesh)
+
+    def one_step(state, i):
+        k = jax.random.fold_in(key, i)
+        batch = dp.place_batch(ds.sample_batch(k, num_rays), mesh)
+        return step_fn(state, batch, jax.random.fold_in(k, 1))
+
+    # warmup / compile
+    for i in range(5):
+        state, aux = one_step(state, i)
+    jax.block_until_ready(state.params)
+
+    # steady state
+    iters = 200
+    t0 = time.perf_counter()
+    for i in range(5, 5 + iters):
+        state, aux = one_step(state, i)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    samples_per_sec_per_chip = steps_per_sec * num_rays * num_samples / nchips
+
+    # secondary: 800x800 novel-view render (coarse-only flagship)
+    rcam = CameraConfig(width=800, height=800)
+    pose = rays_ops.pose_from_yaw_pitch(jnp.float32(0.3), jnp.float32(0.2))
+    o, d = rays_ops.ray_grid(pose, rcam)
+    render_cfg = Config(camera=rcam, render=cfg.render, train=cfg.train)
+    render_fn = dp.make_dp_render(render_cfg, mesh)
+    # compile
+    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=131072)
+    jax.block_until_ready(rgb)
+    t0 = time.perf_counter()
+    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=131072)
+    jax.block_until_ready(rgb)
+    render_s = time.perf_counter() - t0
+
+    target = 20e6
+    print(json.dumps({
+        "metric": "train_ray_samples_per_sec_per_chip",
+        "value": round(samples_per_sec_per_chip, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec_per_chip / target, 4),
+        "extras": {
+            "steps_per_sec": round(steps_per_sec, 2),
+            "step_time_ms": round(1000.0 * dt / iters, 3),
+            "num_chips": nchips,
+            "render_800x800_s": round(render_s, 3),
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
