@@ -56,17 +56,20 @@ def main():
         batch = dp.place_batch(ds.sample_batch(k, num_rays), mesh)
         return step_fn(state, batch, jax.random.fold_in(k, 1))
 
-    # warmup / compile
+    # warmup / compile. NOTE: completion is forced with device_get of a
+    # value data-dependent on the step — block_until_ready is not a
+    # reliable fence on every PJRT backend (observed on this one).
     for i in range(5):
         state, aux = one_step(state, i)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(aux["loss"]))
 
-    # steady state
+    # steady state (state chains step-to-step, so the final loss forces
+    # the whole sequence)
     iters = 200
     t0 = time.perf_counter()
     for i in range(5, 5 + iters):
         state, aux = one_step(state, i)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(aux["loss"]))
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
@@ -80,10 +83,10 @@ def main():
     render_fn = dp.make_dp_render(render_cfg, mesh)
     # compile
     rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=131072)
-    jax.block_until_ready(rgb)
+    float(jax.device_get(rgb[0, 0, 0]))
     t0 = time.perf_counter()
     rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=131072)
-    jax.block_until_ready(rgb)
+    float(jax.device_get(rgb[-1, -1, 0]))
     render_s = time.perf_counter() - t0
 
     target = 20e6
