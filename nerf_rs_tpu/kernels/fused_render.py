@@ -1,0 +1,275 @@
+"""Fused Pallas TPU kernel: positional encoding -> 8x256 skip MLP ->
+sigma/feature/view heads, all resident in VMEM.
+
+This is the north-star kernel of SURVEY §7 step 9 / BASELINE.json: the
+reference's entire device compute (DensityNet+RadianceNet forward,
+src/model.rs:96-131, running under libtorch/MPS) re-designed as ONE TPU
+kernel. Per grid step it reads a block of sample points (and per-sample
+view directions) from HBM once, computes
+  gamma(x) -> trunk (skip at layer k as two matmuls, no concat)
+  -> [feature | sigma] combined head -> view head -> raw rgb
+with every intermediate activation held in VMEM, and writes only raw
+sigma + rgb back. bf16 matmuls with f32 MXU accumulation and f32 bias
+adds; activations stored bf16.
+
+The positional encoding is computed in-register from iota-derived
+column masks (dim select + exact power-of-2 scales + masked sin/cos),
+matching models/encoding.posenc's layout (raw | per-level [sin_xyz,
+cos_xyz]) bit-for-bit in the argument: an earlier matmul-based PE
+(points @ scale-matrix) silently ran at the MXU's bf16 default
+precision and wrecked the high-frequency phases (sin(2^9 x) needs f32
+arguments).
+
+Compositing stays outside (ops/render.composite): it is O(rays*samples)
+on tiny tensors — the FLOPs and HBM traffic both live here.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from ..models.mlp import Params
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def enc_dims(cfg: ModelConfig) -> Tuple[int, int, int, int]:
+    """(pos_dim, pos_pad, dir_dim, dir_pad): true and lane-padded
+    encoding widths."""
+    pos = 3 + 6 * cfg.pos_enc_levels
+    dird = 3 + 6 * cfg.dir_enc_levels
+    return pos, _round_up(pos, 64), dird, _round_up(dird, 32)
+
+
+def _pe_encode(p: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """In-register posenc of p (ROWS, 3) -> (ROWS, pad).
+
+    Column c: c < 3 -> raw p_c; else with r = c-3, level = r//6,
+    component d = r%3, value = sin(2^level * p_d) if r%6 < 3 else
+    cos(2^level * p_d). All scaling is exact elementwise f32 (power-of-2
+    multiply); pad columns compute garbage that multiplies zero weight
+    rows downstream.
+    """
+    rows = p.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, pad), dimension=1)
+    r = jnp.maximum(cols - 3, 0)
+    dim = jnp.where(cols < 3, cols, r % 3)
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+    comp = jnp.where(dim == 0, px, jnp.where(dim == 1, py, pz))
+    scale = jnp.exp2((r // 6).astype(jnp.float32))
+    t = comp * jnp.where(cols < 3, 1.0, scale)
+    enc = jnp.where(r % 6 < 3, jnp.sin(t), jnp.cos(t))
+    return jnp.where(cols < 3, t, enc)
+
+
+class PackedWeights(NamedTuple):
+    """Flat, lane-padded bf16 weights + f32 biases for the kernel."""
+
+    trunk_w: Tuple[jnp.ndarray, ...]  # depth x (256, 256) bf16 (layer 0: (P, 256))
+    skip_w: jnp.ndarray  # (P, 256) bf16 — x-part of the skip layer
+    trunk_b: Tuple[jnp.ndarray, ...]  # depth x (1, 256) f32
+    sf_w: jnp.ndarray  # (256, F+128) bf16: cols 0:F feature, col F sigma
+    sf_b: jnp.ndarray  # (1, F+128) f32
+    view_w: jnp.ndarray  # (F, V) bf16
+    view_dir_w: jnp.ndarray  # (D, V) bf16
+    view_b: jnp.ndarray  # (1, V) f32
+    rgb_w: jnp.ndarray  # (V, 128) bf16, cols 0:3 real
+    rgb_b: jnp.ndarray  # (1, 128) f32
+
+
+def pack_weights(params: Params, cfg: ModelConfig) -> PackedWeights:
+    """Pad/split the standard parameter pytree into the kernel layout.
+
+    Differentiable w.r.t. params (pure pads/slices/casts), so the same
+    packing can sit under jax.grad via the custom-VJP training path.
+    """
+    assert not cfg.compat and cfg.use_viewdirs, (
+        "fused kernel covers the flagship paper architecture"
+    )
+    pos, pos_pad, dird, dir_pad = enc_dims(cfg)
+    W = cfg.net_width
+    F = cfg.feature_width
+    V = cfg.view_head_width
+    bf = jnp.bfloat16
+
+    def padw(w, rows, cols):
+        r, c = w.shape
+        return jnp.pad(w, ((0, rows - r), (0, cols - c))).astype(bf)
+
+    def padb(b, cols):
+        return jnp.pad(b, (0, cols - b.shape[0])).reshape(1, -1).astype(jnp.float32)
+
+    trunk_w, trunk_b = [], []
+    skip_w = None
+    for i, layer in enumerate(params["trunk"]):
+        w = layer["w"]
+        if i == 0:
+            trunk_w.append(padw(w, pos_pad, W))
+        elif i == cfg.skip_layer:
+            trunk_w.append(padw(w[:W], W, W))
+            skip_w = padw(w[W:], pos_pad, W)
+        else:
+            trunk_w.append(padw(w, W, W))
+        trunk_b.append(padb(layer["b"], W))
+    if skip_w is None:  # no skip in range; keep a zero x-contribution
+        skip_w = jnp.zeros((pos_pad, W), bf)
+
+    sf_cols = F + 128
+    sf_w = jnp.zeros((W, sf_cols), jnp.float32)
+    sf_w = sf_w.at[:, :F].set(params["feature"]["w"])
+    sf_w = sf_w.at[:, F : F + 1].set(params["sigma"]["w"])
+    sf_b = jnp.zeros((sf_cols,), jnp.float32)
+    sf_b = sf_b.at[:F].set(params["feature"]["b"])
+    sf_b = sf_b.at[F : F + 1].set(params["sigma"]["b"])
+
+    vw = params["view1"]["w"]  # (F + dird, V)
+    return PackedWeights(
+        trunk_w=tuple(trunk_w),
+        skip_w=skip_w,
+        trunk_b=tuple(trunk_b),
+        sf_w=sf_w.astype(bf),
+        sf_b=sf_b.reshape(1, -1),
+        view_w=padw(vw[:F], F, V),
+        view_dir_w=padw(vw[F:], dir_pad, V),
+        view_b=padb(params["view1"]["b"], V),
+        rgb_w=padw(params["rgb"]["w"], V, 128),
+        rgb_b=padb(params["rgb"]["b"], 128),
+    )
+
+
+def _fused_kernel(
+    depth: int,
+    skip_layer: int,
+    feature_width: int,
+    pos_pad: int,
+    dir_pad: int,
+    pts_ref,
+    dirs_ref,
+    *refs,
+):
+    """One grid step: ROWS sample points -> raw sigma + raw rgb."""
+    nw = depth  # trunk weight count
+    trunk_w = refs[:nw]
+    skip_w = refs[nw]
+    trunk_b = refs[nw + 1 : 2 * nw + 1]
+    (sf_w, sf_b, view_w, view_dir_w, view_b, rgb_w, rgb_b,
+     sigma_out, rgb_out) = refs[2 * nw + 1 :]
+
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    x = _pe_encode(pts_ref[:], pos_pad).astype(bf)  # (ROWS, P)
+    d = _pe_encode(dirs_ref[:], dir_pad).astype(bf)  # (ROWS, D)
+
+    h = x
+    for i in range(depth):
+        acc = jnp.dot(h, trunk_w[i][:], preferred_element_type=f32)
+        if i == skip_layer and i > 0:
+            acc = acc + jnp.dot(x, skip_w[:], preferred_element_type=f32)
+        h = jnp.maximum(acc + trunk_b[i][:], 0.0).astype(bf)
+
+    sf = jnp.dot(h, sf_w[:], preferred_element_type=f32) + sf_b[:]
+    F = feature_width
+    sigma_out[:] = sf[:, F : F + 1]
+    feat = sf[:, :F].astype(bf)
+
+    hv = jnp.dot(feat, view_w[:], preferred_element_type=f32)
+    hv = hv + jnp.dot(d, view_dir_w[:], preferred_element_type=f32)
+    hv = jnp.maximum(hv + view_b[:], 0.0).astype(bf)
+
+    rgb = jnp.dot(hv, rgb_w[:], preferred_element_type=f32) + rgb_b[:]
+    rgb_out[:] = rgb[:, :4]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "rows_per_block", "interpret")
+)
+def fused_mlp_apply(
+    packed: PackedWeights,
+    points: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    cfg: ModelConfig,
+    rows_per_block: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the fused field on flat (N, 3) points + per-sample
+    (N, 3) unit viewdirs. Returns RAW (sigma (N,), rgb_raw (N, 3)) —
+    caller applies sigma activation / sigmoid (parity with
+    models.mlp.apply_nerf semantics).
+
+    N must be a multiple of rows_per_block (callers pad; render/train
+    batch shapes are static powers of two).
+    """
+    n = points.shape[0]
+    assert n % rows_per_block == 0, (n, rows_per_block)
+    grid = (n // rows_per_block,)
+    depth = cfg.net_depth
+
+    row_spec = lambda width: pl.BlockSpec(
+        (rows_per_block, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        row_spec(3),  # points
+        row_spec(3),  # dirs
+        *[full(w) for w in packed.trunk_w],
+        full(packed.skip_w),
+        *[full(b) for b in packed.trunk_b],
+        full(packed.sf_w),
+        full(packed.sf_b),
+        full(packed.view_w),
+        full(packed.view_dir_w),
+        full(packed.view_b),
+        full(packed.rgb_w),
+        full(packed.rgb_b),
+    ]
+    out_specs = (row_spec(1), row_spec(4))
+    out_shape = (
+        jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n, 4), jnp.float32),
+    )
+
+    pos, pos_pad, dird, dir_pad = enc_dims(cfg)
+    kernel = functools.partial(
+        _fused_kernel, depth, cfg.skip_layer, cfg.feature_width,
+        pos_pad, dir_pad,
+    )
+    flops_per_row = 2 * (
+        sum(w.shape[0] * w.shape[1] for w in packed.trunk_w)
+        + packed.skip_w.shape[0] * packed.skip_w.shape[1]
+        + packed.sf_w.shape[0] * packed.sf_w.shape[1]
+        + packed.view_w.shape[0] * packed.view_w.shape[1]
+        + packed.view_dir_w.shape[0] * packed.view_dir_w.shape[1]
+        + packed.rgb_w.shape[0] * packed.rgb_w.shape[1]
+    )
+    sigma, rgb4 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_row * n,
+            bytes_accessed=n * (3 + 3 + 1 + 4) * 4,
+            transcendentals=n * (pos_pad + dir_pad),
+        ),
+    )(points, viewdirs,
+      *packed.trunk_w, packed.skip_w, *packed.trunk_b,
+      packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
+      packed.view_b, packed.rgb_w, packed.rgb_b)
+    return sigma[:, 0], rgb4[:, :3]

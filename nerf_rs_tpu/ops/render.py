@@ -98,6 +98,48 @@ def compat_predict(
     return out.rgb, sigma
 
 
+def fused_supported(model_cfg: ModelConfig) -> bool:
+    """The fused Pallas kernel covers the flagship paper architecture."""
+    return (
+        not model_cfg.compat
+        and model_cfg.use_viewdirs
+        and model_cfg.rgb_activation == "sigmoid"
+        and model_cfg.include_input_in_enc
+    )
+
+
+def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
+                 model_cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate sigma/rgb via the fused Pallas kernel (inference path;
+    no VJP — training uses the XLA autodiff path)."""
+    from ..kernels.fused_render import fused_mlp_apply, pack_weights
+
+    shape = pts.shape[:-1]
+    flat_pts = pts.reshape(-1, 3)
+    flat_dirs = jnp.broadcast_to(viewdirs, pts.shape).reshape(-1, 3)
+    n = flat_pts.shape[0]
+    block = 1024
+    npad = ((n + block - 1) // block) * block
+    if npad != n:
+        flat_pts = jnp.concatenate([flat_pts, jnp.zeros((npad - n, 3), flat_pts.dtype)])
+        flat_dirs = jnp.concatenate([flat_dirs, jnp.ones((npad - n, 3), flat_dirs.dtype)])
+    packed = pack_weights(params, model_cfg)
+    # Mosaic only targets TPU; CPU (tests / virtual meshes) interprets.
+    interpret = jax.default_backend() != "tpu"
+    sigma_raw, rgb_raw = fused_mlp_apply(packed, flat_pts, flat_dirs, model_cfg,
+                                         rows_per_block=block,
+                                         interpret=interpret)
+    sigma_raw = sigma_raw[:n].reshape(shape)
+    rgb = jax.nn.sigmoid(rgb_raw[:n]).reshape(*shape, 3)
+    if model_cfg.sigma_activation == "relu":
+        sigma = jax.nn.relu(sigma_raw)
+    elif model_cfg.sigma_activation == "softplus":
+        sigma = jax.nn.softplus(sigma_raw)
+    else:
+        sigma = sigma_raw
+    return sigma, rgb
+
+
 def render_rays(
     params: Params,
     origins: jnp.ndarray,
@@ -109,13 +151,18 @@ def render_rays(
     fine_params: Optional[Params] = None,
     randomized: Optional[bool] = None,
     dtype=None,
+    use_fused: bool = False,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
 
     Rays of any leading shape (N,) or (H, W). Returns (coarse, fine)
     RenderOuts; fine is None when num_fine_samples == 0.
+
+    use_fused routes the field evaluation through the fused Pallas
+    kernel (kernels/fused_render.py) — inference only (no VJP).
     """
+    use_fused = use_fused and fused_supported(model_cfg)
     rand = render_cfg.randomized if randomized is None else randomized
     n_rays_shape = origins.shape[:-1]
     flat_o = origins.reshape(-1, 3)
@@ -134,9 +181,14 @@ def render_rays(
 
     def run_pass(pass_params: Params, ts_pass: jnp.ndarray) -> RenderOut:
         pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
-        sigma, rgb = apply_nerf(
-            pass_params, pts, viewdirs[..., None, :], model_cfg, dtype
-        )
+        if use_fused:
+            sigma, rgb = _fused_field(
+                pass_params, pts, viewdirs[..., None, :], model_cfg
+            )
+        else:
+            sigma, rgb = apply_nerf(
+                pass_params, pts, viewdirs[..., None, :], model_cfg, dtype
+            )
         if render_cfg.raw_noise_std > 0.0 and rand:
             # paper-appendix sigma noise regularizer; keyed off k_fine's fold
             noise_key = jax.random.fold_in(k_fine, 1)

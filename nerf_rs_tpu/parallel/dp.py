@@ -109,6 +109,7 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None):
         coarse, fine = render.render_rays(
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,
+            use_fused=cfg.use_fused_kernel,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc
