@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--num_fine_samples", type=int, default=0)
     _bool_flag(common, "white_background", False)
     common.add_argument("--accumulation_steps", type=int, default=1)
+    common.add_argument("--error_resample_frac", type=float, default=0.0,
+                        help="fraction of rays drawn from the per-pixel error distribution")
+    common.add_argument("--error_resample_ema", type=float, default=0.5)
     common.add_argument("--precision", default="mixed", choices=["f32", "bf16", "mixed"])
     common.add_argument("--seed", type=int, default=0)
     common.add_argument("--num_devices", type=int, default=0)
@@ -135,6 +138,8 @@ def config_from_args(args) -> "Config":
             accumulation_steps=args.accumulation_steps,
             seed=args.seed,
             precision=args.precision,
+            error_resample_frac=args.error_resample_frac,
+            error_resample_ema=args.error_resample_ema,
         ),
         data=DataConfig(
             dataset=args.dataset,

@@ -101,6 +101,11 @@ class TrainConfig:
     accumulation_steps: int = 1  # latent in reference (model.rs:327-336)
     seed: int = 0
     precision: str = "mixed"  # "f32" | "bf16" | "mixed" (bf16 matmul, f32 master)
+    # highest-error ray resampling (reference README TODO, BASELINE
+    # config 5): fraction of each batch drawn from the per-pixel error
+    # distribution; 0 disables.
+    error_resample_frac: float = 0.0
+    error_resample_ema: float = 0.5
 
 
 @dataclass(frozen=True)

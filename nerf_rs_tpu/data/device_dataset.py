@@ -92,6 +92,49 @@ def _sample_multiview(
     return Batch(origins=o, dirs=d, gold=gold)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_rays", "num_err", "mode", "white_background", "camera", "height", "width", "num_views",
+    ),
+)
+def _sample_error_weighted(
+    images, pose_data, err_store, key, num_rays, num_err, mode,
+    white_background, camera, height, width, num_views,
+) -> Batch:
+    """Mixture sampling: num_err rays from the per-pixel error
+    distribution (inverse-CDF over the error store — O(P) cumsum, not
+    the O(n*P) broadcast of jax.random.categorical), the rest uniform.
+    Implements the reference's README TODO 'resample rays with highest
+    error' (BASELINE config 5)."""
+    kc, ku, kv = jax.random.split(key, 3)
+    cdf = jnp.cumsum(err_store + 1e-8)
+    u = jax.random.uniform(kc, (num_err,)) * cdf[-1]
+    idx_err = jnp.clip(jnp.searchsorted(cdf, u), 0, err_store.shape[0] - 1)
+    idx_uni = jax.random.randint(
+        ku, (num_rays - num_err,), 0, num_views * height * width
+    )
+    idx = jnp.concatenate([idx_err, idx_uni])
+    view_idx = idx // (height * width)
+    rem = idx % (height * width)
+    yi = rem // width
+    xi = rem % width
+    coords = jnp.stack([xi, yi], axis=-1).astype(jnp.float32)
+    o, d = _make_rays(pose_data, mode, coords, view_idx, camera, height, width)
+    gold = _gather_gold(images, view_idx, xi, yi, white_background)
+    return Batch(origins=o, dirs=d, gold=gold, idx=idx)
+
+
+@jax.jit
+def update_error_store(
+    err_store: jnp.ndarray, idx: jnp.ndarray, ray_err: jnp.ndarray,
+    ema: float = 0.5,
+) -> jnp.ndarray:
+    """EMA-scatter per-ray errors back into the pixel error store."""
+    old = err_store[idx]
+    return err_store.at[idx].set((1.0 - ema) * old + ema * ray_err)
+
+
 class DeviceDataset:
     """Multiview images + poses resident on device.
 
@@ -153,6 +196,28 @@ class DeviceDataset:
         )
         return _sample_multiview(
             self.images, self.pose_data, key, num_rays, views_per_batch,
+            self.mode, self.white_background, self.camera, self.height,
+            self.width, self.num_views,
+        )
+
+    # -- highest-error resampling (BASELINE config 5) -------------------------
+
+    def init_error_store(self, initial: float = 1.0) -> jnp.ndarray:
+        """Flat (views*H*W,) per-pixel error buffer; optimistic init so
+        unseen pixels stay likely to be drawn."""
+        return jnp.full(
+            (self.num_views * self.height * self.width,), initial, jnp.float32
+        )
+
+    def sample_batch_error_weighted(
+        self, key: jax.Array, num_rays: int, err_store: jnp.ndarray,
+        error_frac: float = 0.5,
+    ) -> Batch:
+        """error_frac of the batch from the error distribution, rest
+        uniform; Batch.idx carries pixel ids for update_error_store."""
+        num_err = int(num_rays * error_frac)
+        return _sample_error_weighted(
+            self.images, self.pose_data, err_store, key, num_rays, num_err,
             self.mode, self.white_background, self.camera, self.height,
             self.width, self.num_views,
         )

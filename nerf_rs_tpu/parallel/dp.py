@@ -71,10 +71,12 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         key = jax.random.fold_in(key, shard)
         trainable = step_mod._trainable(state, cfg)
         grads, aux = _local_grads(trainable, batch, key)
+        ray_err = aux.pop("ray_err")  # per-ray, stays sharded
         # ICI gradient sync — mean over shards (each shard already
         # averaged over its local rays, shards hold equal ray counts)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         aux = jax.lax.pmean(aux, DATA_AXIS)
+        aux["ray_err"] = ray_err
         updates, opt_state = opt.update(grads, state.opt_state, trainable)
         import optax
 
@@ -82,11 +84,17 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         params, fine_params = step_mod._untrainable(trainable, cfg)
         return TrainState(state.step + 1, params, fine_params, opt_state), aux
 
+    aux_spec = {
+        "loss": P(), "loss_coarse": P(), "psnr": P(),
+        "ray_err": P(DATA_AXIS),
+    }
+    if cfg.render.num_fine_samples > 0:
+        aux_spec["loss_fine"] = P()
     sharded = jax.shard_map(
         _step,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), aux_spec),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

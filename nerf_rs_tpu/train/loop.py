@@ -119,14 +119,28 @@ def train(
     start = int(state.step)
     t_loss = None
 
+    err_frac = cfg.train.error_resample_frac
+    err_store = dataset.init_error_store() if err_frac > 0 else None
+
     if not cfg.do_train:
         return jax.device_get(state)
 
     for it in range(start, cfg.train.num_iter):
         k = jax.random.fold_in(key, it)
-        batch = dataset.sample_batch(jax.random.fold_in(k, 0), num_rays)
+        if err_frac > 0:
+            batch = dataset.sample_batch_error_weighted(
+                jax.random.fold_in(k, 0), num_rays, err_store, err_frac
+            )
+        else:
+            batch = dataset.sample_batch(jax.random.fold_in(k, 0), num_rays)
         batch = dp.place_batch(batch, mesh)
         state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
+        if err_frac > 0:
+            from ..data.device_dataset import update_error_store
+
+            err_store = update_error_store(
+                err_store, batch.idx, aux["ray_err"], cfg.train.error_resample_ema
+            )
 
         # --- per-iter terminal + TB loss (reference main.rs:73-74) ---
         if t_loss is not None:

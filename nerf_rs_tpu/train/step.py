@@ -37,6 +37,10 @@ class Batch(NamedTuple):
     origins: jnp.ndarray  # (N, 3)
     dirs: jnp.ndarray  # (N, 3)
     gold: jnp.ndarray  # (N, 3) or (N, 4) target pixels
+    # flat pixel index view*H*W + y*W + x of each ray, for the
+    # highest-error resampling buffer (BASELINE config 5); None when
+    # error resampling is off.
+    idx: Optional[jnp.ndarray] = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -103,9 +107,15 @@ def loss_fn(
         loss = loss + loss_f
         aux["loss_fine"] = loss_f
         aux["psnr"] = render.psnr_from_mse(loss_f)
+        finest = fine
     else:
         aux["psnr"] = render.psnr_from_mse(loss_c)
+        finest = coarse
     aux["loss"] = loss
+    # per-ray error (stop-grad): drives highest-error resampling
+    aux["ray_err"] = jax.lax.stop_gradient(
+        jnp.mean((finest.rgb[..., :3] - gold_rgb) ** 2, axis=-1)
+    )
     return loss, aux
 
 
@@ -155,10 +165,14 @@ def train_step(
             return (g_sum, l_sum + l), aux_i
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, trainable)
-        (g_sum, l_sum), auxs = jax.lax.scan(body, (zero, 0.0), (mb, keys))
+        (g_sum, l_sum), auxs = jax.tree_util.tree_map(
+            lambda x: x, jax.lax.scan(body, (zero, 0.0), (mb, keys))
+        )
         grads = jax.tree_util.tree_map(lambda g: g / acc, g_sum)
         loss = l_sum / acc
+        ray_err = auxs.pop("ray_err").reshape(-1)  # (acc*micro,) per-ray
         aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+        aux["ray_err"] = ray_err
 
     updates, opt_state = opt.update(grads, state.opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)

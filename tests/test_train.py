@@ -118,3 +118,30 @@ def test_compat_config_trains():
     )
     state, losses = _run_training(cfg, steps=50, seed=2)
     assert np.isfinite(losses).all()
+
+
+def test_error_resampling_trains_and_concentrates():
+    """Highest-error resampling: training runs, the error store updates,
+    and sampling favors high-error pixels."""
+    import jax.numpy as jnp
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset, update_error_store
+
+    cfg = _tiny_cfg()
+    img = np.asarray(synthetic.sphere_scene_images(cfg.camera, 4))
+    angles = np.asarray(rays.view_angle_grid(1))[:4]
+    ds = DeviceDataset(img, cfg.camera, angles=angles)
+    store = ds.init_error_store()
+    key = jax.random.PRNGKey(0)
+    state = init_state(key, cfg)
+    for i in range(5):
+        k = jax.random.fold_in(key, i)
+        batch = ds.sample_batch_error_weighted(k, 128, store, error_frac=0.5)
+        assert batch.idx.shape == (128,)
+        state, aux = train_step(state, batch, k, cfg)
+        assert aux["ray_err"].shape == (128,)
+        store = update_error_store(store, batch.idx, aux["ray_err"])
+    assert np.isfinite(np.asarray(store)).all()
+    # concentrate all mass on one pixel; >= half the batch must hit it
+    hot = jnp.zeros_like(store).at[7].set(1.0)
+    b = ds.sample_batch_error_weighted(jax.random.PRNGKey(9), 64, hot, error_frac=0.5)
+    assert int((np.asarray(b.idx) == 7).sum()) >= 32
