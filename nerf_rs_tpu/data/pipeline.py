@@ -72,8 +72,14 @@ class PrefetchPipeline:
         depth: int = 2,
         seed: int = 0,
         gather_fn=None,
+        use_native: bool = False,
     ):
         assert (angles is None) != (c2w is None)
+        if use_native and gather_fn is None:
+            from . import native_loader
+
+            if native_loader.load() is not None:
+                gather_fn = native_loader.gather_gold
         if images.dtype != np.uint8:
             images = np.clip(images * 255.0, 0, 255).astype(np.uint8)
         if images.shape[-1] == 3:
