@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--error_resample_frac", type=float, default=0.0,
                         help="fraction of rays drawn from the per-pixel error distribution")
     common.add_argument("--error_resample_ema", type=float, default=0.5)
+    common.add_argument("--profile_steps", type=int, default=0,
+                        help="trace N steady-state steps with jax.profiler")
     common.add_argument("--precision", default="mixed", choices=["f32", "bf16", "mixed"])
     common.add_argument("--seed", type=int, default=0)
     common.add_argument("--num_devices", type=int, default=0)
@@ -140,6 +142,7 @@ def config_from_args(args) -> "Config":
             precision=args.precision,
             error_resample_frac=args.error_resample_frac,
             error_resample_ema=args.error_resample_ema,
+            profile_steps=args.profile_steps,
         ),
         data=DataConfig(
             dataset=args.dataset,

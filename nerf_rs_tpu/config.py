@@ -106,6 +106,10 @@ class TrainConfig:
     # distribution; 0 disables.
     error_resample_frac: float = 0.0
     error_resample_ema: float = 0.5
+    # jax.profiler trace window: dump steps [profile_start,
+    # profile_start+profile_steps) into the TB run dir (0 = off).
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 @dataclass(frozen=True)

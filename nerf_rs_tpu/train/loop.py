@@ -126,6 +126,14 @@ def train(
         return jax.device_get(state)
 
     for it in range(start, cfg.train.num_iter):
+        # profiler window (SURVEY §5.1: the reference has no tracing;
+        # here a Perfetto/TB-viewable trace of a few steady-state steps)
+        if cfg.train.profile_steps > 0:
+            if it == start + cfg.train.profile_start:
+                jax.profiler.start_trace(run_dir)
+            if it == start + cfg.train.profile_start + cfg.train.profile_steps:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written under {run_dir}")
         k = jax.random.fold_in(key, it)
         if err_frac > 0:
             batch = dataset.sample_batch_error_weighted(

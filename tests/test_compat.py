@@ -1,0 +1,97 @@
+"""Reference-compat parity: an independent numpy replication of the
+reference's committed math (src/model.rs predict + compositing,
+src/ray_sampling.rs sampling quirks) is the oracle; our compat path
+must reproduce it to float tolerance given identical weights/inputs.
+
+This is the 'pixel-parity compat mode' of SURVEY §7 hard-part 3,
+asserted numerically rather than bitwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import ModelConfig, reference_compat_config
+from nerf_rs_tpu.models.mlp import init_nerf_params
+from nerf_rs_tpu.ops import sampling
+from nerf_rs_tpu.ops.render import compat_predict
+
+
+def _numpy_reference_predict(params, points, ts, t_far):
+    """Verbatim reference math in numpy:
+    - DensityNet: 8 linears, ReLU between, none after fc8
+      (src/model.rs:96-117); channel 0 = raw sigma, 1.. = features
+      (src/model.rs:168-176).
+    - RadianceNet output computed then DISCARDED (src/model.rs:178).
+    - deltas: concat(t[1:], T_FAR) - t (src/model.rs:184-187).
+    - compositing of stacked densities as color channels + alpha=1
+      (src/model.rs:190-206) with the O(N^2) transmittance
+      (src/model.rs:221-241): T_i = exp(-sum_{j<i} sigma_j delta_j),
+      w = T * (1 - exp(-sigma*delta)), C = sum w * c.
+    """
+    n_rays, n_pts = ts.shape
+    h = points.reshape(-1, 3)
+    for layer in params["trunk"][:-1]:
+        h = np.maximum(h @ np.asarray(layer["w"]) + np.asarray(layer["b"]), 0.0)
+    out = h @ np.asarray(params["trunk"][-1]["w"]) + np.asarray(params["trunk"][-1]["b"])
+    out = out.reshape(n_rays, n_pts, -1)
+    sigma = out[..., 0]
+
+    deltas = np.concatenate([ts[:, 1:], np.full((n_rays, 1), t_far)], 1) - ts
+
+    T = np.ones((n_rays, n_pts))
+    for i in range(1, n_pts):
+        T[:, i] = np.exp(-(sigma[:, :i] * deltas[:, :i]).sum(-1))
+    w = T * (1.0 - np.exp(-sigma * deltas))
+    colors = np.stack([sigma, sigma, sigma, np.ones_like(sigma)], axis=-1)
+    final = (w[..., None] * colors).sum(1)
+    return final, sigma
+
+
+def test_compat_predict_matches_reference_math():
+    cfg = reference_compat_config()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg.model)
+    n_rays, n_pts = 16, 32
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.normal(key, (n_rays, n_pts, 3)) * 0.6
+    ts = jnp.sort(jax.random.uniform(jax.random.PRNGKey(2), (n_rays, n_pts)) * 2.0, axis=-1)
+
+    got_rgb, got_sigma = compat_predict(
+        params, pts, ts, cfg.model, far=2.0, dtype=None
+    )
+    params_np = jax.device_get(params)
+    want_rgb, want_sigma = _numpy_reference_predict(
+        params_np, np.asarray(pts), np.asarray(ts), 2.0
+    )
+    np.testing.assert_allclose(np.asarray(got_sigma), want_sigma, atol=1e-4)
+    # got_rgb is RGB of the reference's RGBA output (alpha channel = acc)
+    np.testing.assert_allclose(np.asarray(got_rgb)[:, :3], want_rgb[:, :3], atol=1e-4)
+
+
+def test_compat_sampling_statistics():
+    """The compat t-distribution matches the reference's effective
+    behavior: uniform over [0, far) with NO near-plane offset
+    (precedence quirk at src/ray_sampling.rs:114)."""
+    ts = sampling.compat_ts(jax.random.PRNGKey(0), 4096, 64, far=2.0)
+    t = np.asarray(ts).ravel()
+    assert t.min() < 0.01  # near plane not enforced
+    assert t.max() < 2.0
+    assert abs(t.mean() - 1.0) < 0.01  # uniform mean = far/2
+    hist, _ = np.histogram(t, bins=10, range=(0, 2))
+    assert hist.std() / hist.mean() < 0.05  # flat
+
+
+def test_compat_rgba_head_dims_and_discard():
+    """The radiance head is evaluated (shape check) but its output does
+    not affect compat_predict's colors — matching the reference's
+    discard at src/model.rs:178."""
+    cfg = reference_compat_config()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg.model)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 3))
+    ts = jnp.sort(jax.random.uniform(jax.random.PRNGKey(2), (4, 8)) * 2.0, -1)
+    rgb1, _ = compat_predict(params, pts, ts, cfg.model, far=2.0)
+    # zero out the radiance head entirely; composited output unchanged
+    params2 = jax.device_get(params)
+    params2["head2"]["w"] = np.zeros_like(params2["head2"]["w"])
+    rgb2, _ = compat_predict(params2, pts, ts, cfg.model, far=2.0)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=0)
