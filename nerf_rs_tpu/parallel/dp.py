@@ -100,20 +100,22 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_render(cfg: Config, mesh: Mesh, camera=None):
+def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 32768):
     """Sharded full-frame renderer: rays split across chips, frame
     gathered — the <2 s 800x800 novel-view path (BASELINE north star).
 
     Returns fn(params, fine_params, origins, dirs, key) -> (rgb, depth,
-    acc) over flat ray arrays (caller reshapes to HxW); ray count must
-    divide the mesh size (use mesh.pad_to_shards + trim).
+    acc) over flat ray arrays (caller reshapes to HxW). The per-shard
+    ray count must be a multiple of ``chunk`` (render_frame pads);
+    chunking runs ON-DEVICE via lax.map — one dispatch and one compile
+    per frame shape instead of a host loop — while bounding the
+    (rays, samples, 3) temp blowup (XLA pads the 3-wide minor dim to
+    128 lanes; see train/loop.render_frame).
     """
     camera = camera or cfg.camera
     dtype = step_mod._matmul_dtype(cfg)
 
-    def _render(params, fine_params, origins, dirs, key):
-        shard = jax.lax.axis_index(DATA_AXIS)
-        key = jax.random.fold_in(key, shard)
+    def _render_chunk(params, fine_params, origins, dirs, key):
         coarse, fine = render.render_rays(
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,
@@ -121,6 +123,21 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None):
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc
+
+    def _render(params, fine_params, origins, dirs, key):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(key, shard)
+        n = origins.shape[0]
+        if n <= chunk:
+            return _render_chunk(params, fine_params, origins, dirs, key)
+        assert n % chunk == 0, (n, chunk)
+        oc = origins.reshape(-1, chunk, 3)
+        dc = dirs.reshape(-1, chunk, 3)
+        rgb, depth, acc = jax.lax.map(
+            lambda od: _render_chunk(params, fine_params, od[0], od[1], key),
+            (oc, dc),
+        )
+        return rgb.reshape(n, 3), depth.reshape(n), acc.reshape(n)
 
     in_fine = P() if cfg.render.num_fine_samples > 0 else None
     sharded = jax.shard_map(

@@ -51,34 +51,39 @@ def render_frame(
     mesh,
     render_fn=None,
     key: Optional[jax.Array] = None,
-    chunk: int = 65536,
+    chunk: int = 32768,
 ):
     """Full-frame render via the sharded renderer, chunked to bound
-    memory: (H, W) rays -> (H, W, 3) rgb, (H, W) depth, (H, W) acc."""
+    memory: (H, W) rays -> (H, W, 3) rgb, (H, W) depth, (H, W) acc.
+
+    chunk bounds HBM: XLA lays (rays, samples, 3) tensors out with the
+    3-wide minor dim padded to 128 lanes (a 42x expansion measured via
+    memory_analysis), so a 131072-ray chunk at 64 samples costs ~13 GB
+    of temp — 32768 keeps renders of any frame size within a v5e's
+    16 GB alongside the pixel store."""
     h, w = origins.shape[:2]
     flat_o = origins.reshape(-1, 3)
     flat_d = dirs.reshape(-1, 3)
     n = flat_o.shape[0]
     if render_fn is None:
-        render_fn = dp.make_dp_render(cfg, mesh)
+        render_fn = dp.make_dp_render(cfg, mesh, chunk=chunk)
     key = jax.random.PRNGKey(0) if key is None else key
-    npad = mesh_mod.pad_to_shards(min(chunk, n), mesh)
-    rgbs, depths, accs = [], [], []
-    for s in range(0, n, npad):
-        o = flat_o[s : s + npad]
-        d = flat_d[s : s + npad]
-        m = o.shape[0]
-        if m < npad:  # pad the tail chunk to the static sharded shape
-            o = jnp.concatenate([o, jnp.zeros((npad - m, 3), o.dtype)])
-            d = jnp.concatenate([d, jnp.ones((npad - m, 3), d.dtype)])
-        rgb, depth, acc = render_fn(state.params, state.fine_params or state.params, o, d, key)
-        rgbs.append(rgb[:m])
-        depths.append(depth[:m])
-        accs.append(acc[:m])
-    rgb = jnp.concatenate(rgbs).reshape(h, w, 3)
-    depth = jnp.concatenate(depths).reshape(h, w)
-    acc = jnp.concatenate(accs).reshape(h, w)
-    return rgb, depth, acc
+    # pad so every shard holds a whole number of chunks (the on-device
+    # lax.map inside the renderer requires it)
+    shards = mesh_mod.num_shards(mesh)
+    unit = shards * chunk if n > chunk * shards else shards
+    npad = ((n + unit - 1) // unit) * unit
+    if npad != n:
+        flat_o = jnp.concatenate([flat_o, jnp.zeros((npad - n, 3), flat_o.dtype)])
+        flat_d = jnp.concatenate([flat_d, jnp.ones((npad - n, 3), flat_d.dtype)])
+    rgb, depth, acc = render_fn(
+        state.params, state.fine_params or state.params, flat_o, flat_d, key
+    )
+    return (
+        rgb[:n].reshape(h, w, 3),
+        depth[:n].reshape(h, w),
+        acc[:n].reshape(h, w),
+    )
 
 
 def train(
