@@ -1,0 +1,92 @@
+"""Pod-scale multi-scene training: one radiance field per scene,
+scenes sharded across the device mesh (BASELINE config 5).
+
+The TPU-native shape of "train many scenes on a v5e-8": stack every
+model/optimizer leaf along a leading scene axis, vmap the single-scene
+train step over that axis, and shard the axis over the mesh — each
+chip (group) advances its own scene with ZERO cross-chip collectives
+(scene training is embarrassingly parallel; the mesh is used for
+placement, not communication). With more scenes than chips, XLA
+time-multiplexes scene groups per chip.
+
+Composes with everything single-scene: checkpointing stores the stacked
+state; `scene_state(ms, i)` slices one scene out for rendering/eval.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config
+from ..train import step as step_mod
+from ..train.step import Batch, TrainState
+from .mesh import DATA_AXIS, num_shards, replicated_sharding
+
+
+def init_multiscene_state(key: jax.Array, cfg: Config, n_scenes: int) -> TrainState:
+    """Stacked TrainState: every leaf gains a leading (n_scenes,) axis;
+    each scene gets an independent init key."""
+    keys = jax.random.split(key, n_scenes)
+    return jax.vmap(lambda k: step_mod.init_state(k, cfg))(keys)
+
+
+def scene_state(ms: TrainState, scene: int) -> TrainState:
+    """Slice one scene's TrainState out of the stack."""
+    return jax.tree_util.tree_map(lambda x: x[scene], ms)
+
+
+def stack_batches(batches: Sequence[Batch]) -> Batch:
+    """(S,) per-scene batches -> one stacked Batch with leading S."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
+    """(stacked_state, stacked_batch, key) -> (stacked_state, stacked_aux).
+
+    Scene axis sharded over the mesh; n_scenes must be a multiple of the
+    mesh size.
+    """
+    nshards = num_shards(mesh)
+    assert n_scenes % nshards == 0, (
+        f"{n_scenes} scenes must divide over {nshards} devices"
+    )
+
+    def _local(states, batches, key):
+        # each shard holds n_scenes/nshards scenes; vmap over them
+        shard = jax.lax.axis_index(DATA_AXIS)
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(key, shard), i)
+        )(jnp.arange(n_scenes // nshards))
+        return jax.vmap(
+            lambda st, b, k: step_mod.train_step_core(st, b, k, cfg)
+        )(states, batches, keys)
+
+    sharded = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+class MultiSceneSampler:
+    """Stacks per-scene batches from a list of DeviceDatasets (all
+    scenes must share H/W so ray counts match)."""
+
+    def __init__(self, datasets: List):
+        assert len(datasets) > 0
+        self.datasets = datasets
+
+    def sample(self, key: jax.Array, num_rays: int) -> Batch:
+        batches = [
+            ds.sample_batch(jax.random.fold_in(key, i), num_rays)
+            for i, ds in enumerate(self.datasets)
+        ]
+        return stack_batches(batches)

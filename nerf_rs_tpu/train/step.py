@@ -139,6 +139,15 @@ def train_step(
     fully on-device. With cfg.train.accumulation_steps > 1, the batch's
     leading axis is split into micro-batches whose grads are averaged by
     a lax.scan before the single Adam update."""
+    return train_step_core(state, batch, key, cfg)
+
+
+def train_step_core(
+    state: TrainState, batch: Batch, key: jax.Array, cfg: Config
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Unjitted step body — reused by the DP (parallel/dp.py) and
+    multi-scene (parallel/multiscene.py) wrappers, which add their own
+    collectives/vmap before jitting."""
     opt = make_optimizer(cfg)
     trainable = _trainable(state, cfg)
     acc = cfg.train.accumulation_steps
