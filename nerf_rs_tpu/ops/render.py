@@ -109,9 +109,10 @@ def fused_supported(model_cfg: ModelConfig) -> bool:
 
 
 def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
-                 model_cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 model_cfg: ModelConfig, packed=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate sigma/rgb via the fused Pallas kernel (inference path;
-    no VJP — training uses the XLA autodiff path)."""
+    no VJP — training uses the XLA autodiff path). ``packed`` lets
+    callers that loop over chunks pack the weights once."""
     from ..kernels.fused_render import fused_mlp_apply, pack_weights
 
     shape = pts.shape[:-1]
@@ -123,7 +124,8 @@ def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
     if npad != n:
         flat_pts = jnp.concatenate([flat_pts, jnp.zeros((npad - n, 3), flat_pts.dtype)])
         flat_dirs = jnp.concatenate([flat_dirs, jnp.ones((npad - n, 3), flat_dirs.dtype)])
-    packed = pack_weights(params, model_cfg)
+    if packed is None:
+        packed = pack_weights(params, model_cfg)
     # Mosaic only targets TPU; CPU (tests / virtual meshes) interprets.
     interpret = jax.default_backend() != "tpu"
     sigma_raw, rgb_raw = fused_mlp_apply(packed, flat_pts, flat_dirs, model_cfg,
@@ -152,6 +154,8 @@ def render_rays(
     randomized: Optional[bool] = None,
     dtype=None,
     use_fused: bool = False,
+    packed=None,
+    fine_packed=None,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
@@ -179,11 +183,13 @@ def render_rays(
 
     viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
 
-    def run_pass(pass_params: Params, ts_pass: jnp.ndarray) -> RenderOut:
+    def run_pass(pass_params: Params, ts_pass: jnp.ndarray,
+                 pass_packed=None) -> RenderOut:
         pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
         if use_fused:
             sigma, rgb = _fused_field(
-                pass_params, pts, viewdirs[..., None, :], model_cfg
+                pass_params, pts, viewdirs[..., None, :], model_cfg,
+                packed=pass_packed,
             )
         else:
             sigma, rgb = apply_nerf(
@@ -206,7 +212,7 @@ def render_rays(
             white_background=render_cfg.white_background, ts=ts_pass,
         )
 
-    coarse = run_pass(params, ts)
+    coarse = run_pass(params, ts, packed)
     fine = None
     if render_cfg.num_fine_samples > 0:
         mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
@@ -217,7 +223,11 @@ def render_rays(
             k_fine, bins, coarse.weights, render_cfg.num_fine_samples, rand
         )
         all_ts = sampling.merge_ts(ts, fine_ts)
-        fine = run_pass(fine_params if fine_params is not None else params, all_ts)
+        fine = run_pass(
+            fine_params if fine_params is not None else params,
+            all_ts,
+            fine_packed if fine_params is not None else packed,
+        )
 
     def unflatten(out: RenderOut) -> RenderOut:
         return RenderOut(

@@ -115,11 +115,13 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 32768):
     camera = camera or cfg.camera
     dtype = step_mod._matmul_dtype(cfg)
 
-    def _render_chunk(params, fine_params, origins, dirs, key):
+    use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
+
+    def _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked):
         coarse, fine = render.render_rays(
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,
-            use_fused=cfg.use_fused_kernel,
+            use_fused=use_fused, packed=packed, fine_packed=fpacked,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc
@@ -127,14 +129,23 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 32768):
     def _render(params, fine_params, origins, dirs, key):
         shard = jax.lax.axis_index(DATA_AXIS)
         key = jax.random.fold_in(key, shard)
+        # pack the kernel weights ONCE per frame, outside the chunk loop
+        packed = fpacked = None
+        if use_fused:
+            from ..kernels.fused_render import pack_weights
+
+            packed = pack_weights(params, cfg.model)
+            fpacked = pack_weights(fine_params, cfg.model)
         n = origins.shape[0]
         if n <= chunk:
-            return _render_chunk(params, fine_params, origins, dirs, key)
+            return _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked)
         assert n % chunk == 0, (n, chunk)
         oc = origins.reshape(-1, chunk, 3)
         dc = dirs.reshape(-1, chunk, 3)
         rgb, depth, acc = jax.lax.map(
-            lambda od: _render_chunk(params, fine_params, od[0], od[1], key),
+            lambda od: _render_chunk(
+                params, fine_params, od[0], od[1], key, packed, fpacked
+            ),
             (oc, dc),
         )
         return rgb.reshape(n, 3), depth.reshape(n), acc.reshape(n)
