@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--run_name", default="")
     _bool_flag(common, "compat", False, "reference-compat math (8x100 MLP, sigma-grayscale)")
     _bool_flag(common, "use_fused_kernel", True)
+    _bool_flag(common, "use_fused_train", False,
+               "train through the custom-VJP Pallas kernel pair")
 
     sub.add_parser("train", parents=[common])
 
@@ -154,6 +156,7 @@ def config_from_args(args) -> "Config":
         ),
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,
+        use_fused_train=args.use_fused_train,
     )
 
 

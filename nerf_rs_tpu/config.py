@@ -147,6 +147,9 @@ class Config:
     # Parallelism: number of data-parallel shards; 0 = all local devices.
     num_devices: int = 0
     use_fused_kernel: bool = True
+    # route TRAINING through the custom-VJP fused kernel pair
+    # (kernels/fused_vjp.py) instead of XLA autodiff
+    use_fused_train: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

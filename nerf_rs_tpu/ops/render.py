@@ -109,10 +109,16 @@ def fused_supported(model_cfg: ModelConfig) -> bool:
 
 
 def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
-                 model_cfg: ModelConfig, packed=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate sigma/rgb via the fused Pallas kernel (inference path;
-    no VJP — training uses the XLA autodiff path). ``packed`` lets
-    callers that loop over chunks pack the weights once."""
+                 model_cfg: ModelConfig, packed=None, field_fn=None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate sigma/rgb via the fused Pallas kernel.
+
+    Default is the inference kernel (no VJP). ``field_fn`` (from
+    kernels/fused_vjp.make_fused_field_fn) swaps in the differentiable
+    custom-VJP variant for training; weights are then packed inside so
+    gradients flow back to ``params`` through pack_weights' VJP.
+    ``packed`` lets chunk-looping callers pack once.
+    """
     from ..kernels.fused_render import fused_mlp_apply, pack_weights
 
     shape = pts.shape[:-1]
@@ -126,11 +132,14 @@ def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
         flat_dirs = jnp.concatenate([flat_dirs, jnp.ones((npad - n, 3), flat_dirs.dtype)])
     if packed is None:
         packed = pack_weights(params, model_cfg)
-    # Mosaic only targets TPU; CPU (tests / virtual meshes) interprets.
-    interpret = jax.default_backend() != "tpu"
-    sigma_raw, rgb_raw = fused_mlp_apply(packed, flat_pts, flat_dirs, model_cfg,
-                                         rows_per_block=block,
-                                         interpret=interpret)
+    if field_fn is not None:
+        sigma_raw, rgb_raw = field_fn(packed, flat_pts, flat_dirs)
+    else:
+        # Mosaic only targets TPU; CPU (tests / virtual meshes) interprets.
+        interpret = jax.default_backend() != "tpu"
+        sigma_raw, rgb_raw = fused_mlp_apply(packed, flat_pts, flat_dirs, model_cfg,
+                                             rows_per_block=block,
+                                             interpret=interpret)
     sigma_raw = sigma_raw[:n].reshape(shape)
     rgb = jax.nn.sigmoid(rgb_raw[:n]).reshape(*shape, 3)
     if model_cfg.sigma_activation == "relu":
@@ -156,6 +165,7 @@ def render_rays(
     use_fused: bool = False,
     packed=None,
     fine_packed=None,
+    field_fn=None,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
@@ -189,7 +199,7 @@ def render_rays(
         if use_fused:
             sigma, rgb = _fused_field(
                 pass_params, pts, viewdirs[..., None, :], model_cfg,
-                packed=pass_packed,
+                packed=pass_packed, field_fn=field_fn,
             )
         else:
             sigma, rgb = apply_nerf(

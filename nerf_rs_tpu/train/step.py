@@ -87,6 +87,15 @@ def loss_fn(
         params, fine_params = trainable
     else:
         params, fine_params = trainable, None
+    field_fn = None
+    use_fused = False
+    if cfg.use_fused_train and render.fused_supported(cfg.model):
+        from ..kernels.fused_vjp import make_fused_field_fn
+
+        field_fn = make_fused_field_fn(
+            cfg.model, interpret=jax.default_backend() != "tpu"
+        )
+        use_fused = True
     coarse, fine = render.render_rays(
         params,
         batch.origins,
@@ -97,6 +106,8 @@ def loss_fn(
         cfg.camera,
         fine_params=fine_params,
         dtype=_matmul_dtype(cfg),
+        use_fused=use_fused,
+        field_fn=field_fn,
     )
     gold_rgb = batch.gold[..., :3]
     loss_c = render.mse(coarse.rgb[..., :3], gold_rgb)

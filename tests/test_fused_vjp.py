@@ -1,0 +1,84 @@
+"""Custom-VJP fused training kernel: gradient parity with XLA autodiff
+(interpret mode on CPU; hardware parity + convergence were verified on
+the TPU chip — see kernels/fused_vjp.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import CameraConfig, Config, ModelConfig, RenderConfig, TrainConfig
+from nerf_rs_tpu.kernels.fused_render import pack_weights
+from nerf_rs_tpu.kernels.fused_vjp import make_fused_field_fn
+from nerf_rs_tpu.models.mlp import apply_nerf, init_nerf_params
+
+CFG = ModelConfig(net_depth=4, net_width=128, skip_layer=2, feature_width=128,
+                  view_head_width=64, pos_enc_levels=6, dir_enc_levels=4)
+
+
+def _setup(n=512):
+    params = init_nerf_params(jax.random.PRNGKey(0), CFG)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.7
+    d = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tgt_s = jax.random.uniform(jax.random.PRNGKey(3), (n,))
+    tgt_c = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+    return params, pts, d, tgt_s, tgt_c
+
+
+def test_fused_vjp_grads_match_autodiff():
+    params, pts, dirs, tgt_s, tgt_c = _setup()
+    field = make_fused_field_fn(CFG, rows_per_block=256, interpret=True)
+
+    def loss_fused(p):
+        s, c = field(pack_weights(p, CFG), pts, dirs)
+        return jnp.mean((jax.nn.relu(s) - tgt_s) ** 2) + jnp.mean(
+            (jax.nn.sigmoid(c) - tgt_c) ** 2
+        )
+
+    def loss_ref(p):
+        s, c = apply_nerf(p, pts, dirs, CFG, dtype=jnp.bfloat16)
+        return jnp.mean((s - tgt_s) ** 2) + jnp.mean((c - tgt_c) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        denom = np.abs(b).max() + 1e-12
+        # bf16 compute on both sides; weight grads agree to ~1-2%,
+        # scalar biases (tiny sums of many terms) to ~15%
+        tol = 0.02 if a.ndim == 2 else 0.15
+        assert np.abs(a - b).max() / denom < tol, (a.shape, np.abs(a - b).max() / denom)
+
+
+def test_fused_train_step_tracks_autodiff_path():
+    """End-to-end: train_step through the fused-VJP pair produces the
+    same loss trajectory as the XLA autodiff path (both bf16) — the
+    strongest wiring check available without hardware."""
+    from nerf_rs_tpu.train import Batch, init_state, train_step
+
+    def run(fused):
+        cfg = Config(
+            camera=CameraConfig(width=16, height=16),
+            model=CFG,
+            render=RenderConfig(num_samples=8),
+            train=TrainConfig(num_rays=128, learning_rate=1e-3, precision="mixed"),
+            use_fused_train=fused,
+        )
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        o = jnp.zeros((128, 3)).at[:, 2].set(-1.0)
+        d = jnp.zeros((128, 3)).at[:, 2].set(1.0)
+        batch = Batch(o, d, jnp.full((128, 3), 0.6))
+        losses = []
+        for i in range(10):
+            state, aux = train_step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i), cfg
+            )
+            losses.append(float(aux["loss"]))
+        return losses
+
+    ref = run(False)
+    got = run(True)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=0.08)
+    assert got[-1] < got[0]  # and it actually optimizes
