@@ -86,9 +86,37 @@ def render_frame(
     )
 
 
+def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key):
+    """The reference's logging_steps diagnostics (SURVEY §5.5): screen
+    coordinate histograms (logging.rs:13-24), ray-t histograms
+    (logging.rs:26-39), and query-point occupancy maps on the yx/zx/yz
+    world planes (logging.rs:41-107) — computed from a small diagnostic
+    ray sample so the training path stays clean."""
+    from ..ops import sampling
+
+    k = jax.random.fold_in(jax.random.fold_in(key, it), 999)
+    batch = dataset.sample_batch(k, 1024)
+    # recover screen coords from the ray sample? the sampler draws fresh
+    # ones; log a representative independent draw instead
+    kx, ky, kt = jax.random.split(k, 3)
+    xs = jax.random.randint(kx, (1024,), 0, dataset.width)
+    ys = jax.random.randint(ky, (1024,), 0, dataset.height)
+    tb.screen_coords(np.stack([np.asarray(xs), np.asarray(ys)], -1), it)
+    if cfg.render.compat_sampling:
+        ts = sampling.compat_ts(kt, 1024, cfg.render.num_samples, cfg.camera.far)
+    else:
+        ts = sampling.stratified_ts(
+            kt, 1024, cfg.render.num_samples, cfg.camera.near, cfg.camera.far
+        )
+    tb.ray_ts(np.asarray(ts), it)
+    pts = sampling.points_from_ts(batch.origins, batch.dirs, ts)
+    tb.point_maps(np.asarray(pts), it, prefix="world")
+
+
 def train(
     cfg: Config,
     dataset=None,
+    eval_dataset=None,
     on_step: Optional[Callable[[int, Dict[str, float]], None]] = None,
 ) -> TrainState:
     """Run the full training loop; returns the final TrainState."""
@@ -96,6 +124,14 @@ def train(
     nchips = mesh_mod.num_shards(mesh)
     if dataset is None:
         dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
+    if eval_dataset is None and cfg.data.dataset == "blender":
+        # held-out split for the PSNR of record (BASELINE: test PSNR)
+        try:
+            eval_dataset = make_dataset(
+                cfg, split="test", sharding=mesh_mod.replicated_sharding(mesh)
+            )
+        except FileNotFoundError:
+            eval_dataset = None
     cfg = _effective_config(cfg, dataset)
 
     run_id = cfg.run_name or str(int(time.time()))
@@ -171,15 +207,18 @@ def train(
             tb.scalars(stats, it)
             tb.scalars({"psnr_train": float(aux["psnr"])}, it)
             thr.reset()
+            _log_diagnostics(tb, dataset, cfg, it, key)
             if on_step:
                 on_step(it, {**stats, "loss": losses[-1] if losses else float("nan")})
 
-        # --- eval hook: render a frame (main.rs:85-106) ---
+        # --- eval hook: render a frame (main.rs:85-106); uses the
+        # held-out split when available, else a training view ---
         if cfg.eval_on_train and it % cfg.train.eval_steps == 0 and it > 0:
+            eval_ds = eval_dataset if eval_dataset is not None else dataset
             eval_view = 0
-            o, d = dataset.view_rays(eval_view)
+            o, d = eval_ds.view_rays(eval_view)
             rgb, depth, acc = render_frame(cfg, state, o, d, mesh, render_fn)
-            gold = dataset.view_gold(eval_view)
+            gold = eval_ds.view_gold(eval_view)
             m = render_ops.mse(rgb, gold)
             psnr = float(render_ops.psnr_from_mse(m))
             tb.scalars({"psnr_eval": psnr, "mse_eval": float(m)}, it)
