@@ -86,7 +86,8 @@ def render_frame(
     )
 
 
-def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key):
+def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key,
+                     state: Optional[TrainState] = None):
     """The reference's logging_steps diagnostics (SURVEY §5.5): screen
     coordinate histograms (logging.rs:13-24), ray-t histograms
     (logging.rs:26-39), and query-point occupancy maps on the yx/zx/yz
@@ -111,6 +112,17 @@ def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key):
     tb.ray_ts(np.asarray(ts), it)
     pts = sampling.points_from_ts(batch.origins, batch.dirs, ts)
     tb.point_maps(np.asarray(pts), it, prefix="world")
+    if state is not None:
+        # density histogram + density-weighted maps (log_densities /
+        # log_density_maps, src/logging.rs:109-195)
+        from ..models.mlp import apply_nerf
+
+        sigma, _ = apply_nerf(
+            state.params, pts, batch.dirs[:, None, :], cfg.model
+        )
+        tb.histogram("density", np.asarray(sigma), it)
+        tb.point_maps(np.asarray(pts), it, weights=np.asarray(sigma),
+                      prefix="density")
 
 
 def train(
@@ -207,7 +219,10 @@ def train(
             tb.scalars(stats, it)
             tb.scalars({"psnr_train": float(aux["psnr"])}, it)
             thr.reset()
-            _log_diagnostics(tb, dataset, cfg, it, key)
+            _log_diagnostics(
+                tb, dataset, cfg, it, key,
+                state=state if cfg.log_densities_only else None,
+            )
             if on_step:
                 on_step(it, {**stats, "loss": losses[-1] if losses else float("nan")})
 
