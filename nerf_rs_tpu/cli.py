@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(common, "use_fused_train", False,
                "train through the custom-VJP Pallas kernel pair")
 
+    _bool_flag(common, "debug_nans", False, "enable jax_debug_nans")
+
     sub.add_parser("train", parents=[common])
 
     pr = sub.add_parser("render", parents=[common])
@@ -91,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--pitch", type=float, default=math.pi / 6)
     pr.add_argument("--out_dir", default="renders")
     pr.add_argument("--view", type=int, default=-1, help="render one dataset view instead of a sweep")
+
+    pe = sub.add_parser("eval", parents=[common])
+    pe.add_argument("--split", default="test", help="dataset split (blender) to evaluate")
+    pe.add_argument("--max_views", type=int, default=0, help="0 = all views")
+    pe.add_argument("--out_dir", default="", help="optionally dump per-view renders")
     return p
 
 
@@ -224,12 +231,67 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Held-out PSNR over a full split — the quality metric of record
+    (BASELINE.md: test PSNR). Renders every view of the split with the
+    deterministic sampler and reports per-view + mean PSNR."""
+    import jax
+    import numpy as np
+
+    from .data.factory import make_dataset
+    from .ops import render as render_ops
+    from .parallel import dp, mesh as mesh_mod
+    from .train import checkpoint as ckpt
+    from .train.loop import render_frame
+    from .train.step import init_state
+    from .data.images import save_png
+
+    cfg = config_from_args(args)
+    mesh = mesh_mod.make_mesh(cfg.num_devices)
+    dataset = make_dataset(
+        cfg, split=args.split, sharding=mesh_mod.replicated_sharding(mesh)
+    )
+    cfg = dataclasses.replace(cfg, camera=dataset.camera)
+    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    if not load_path:
+        print("error: no checkpoint found (use --load_path or --save_dir)")
+        return 1
+    state = ckpt.restore(load_path, state)
+    print(f"loaded {load_path} (step {int(state.step)})")
+    state = dp.place_state(state, mesh)
+    render_fn = dp.make_dp_render(cfg, mesh)
+
+    n = dataset.num_views if args.max_views <= 0 else min(args.max_views, dataset.num_views)
+    psnrs = []
+    t0 = time.time()
+    for v in range(n):
+        o, d = dataset.view_rays(v)
+        rgb, _, _ = render_frame(cfg, state, o, d, mesh, render_fn)
+        p = float(render_ops.psnr(rgb, dataset.view_gold(v)))
+        psnrs.append(p)
+        print(f"view {v:3d}: psnr {p:.2f}")
+        if args.out_dir:
+            save_png(os.path.join(args.out_dir, f"eval-{v:03d}.png"), np.asarray(rgb))
+    print(
+        f"mean psnr over {n} {args.split} views: {np.mean(psnrs):.2f} "
+        f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f}) in {time.time()-t0:.1f}s"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.cmd == "train":
         return cmd_train(args)
     if args.cmd == "render":
         return cmd_render(args)
+    if args.cmd == "eval":
+        return cmd_eval(args)
     return 1
 
 

@@ -68,3 +68,24 @@ def test_train_then_render_end_to_end(tmp_path):
     rc = main(["render", *common, "--view", "1", "--out_dir", out_dir])
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "view-1.png"))
+
+
+def test_eval_subcommand(tmp_path):
+    save_dir = str(tmp_path / "ckpt")
+    common = [
+        "--dataset", "sphere",
+        "--width", "24", "--height", "24",
+        "--num_rays", "128", "--num_samples", "8",
+        "--num_views_per_hemisphere", "2",
+        "--log_dir", str(tmp_path / "logs"), "--save_dir", save_dir,
+        "--precision", "f32",
+    ]
+    rc = main(["train", *common, "--num_iter", "12", "--save_steps", "10",
+               "--eval_steps", "100", "--logging_steps", "100",
+               "--learning_rate", "5e-3"])
+    assert rc == 0
+    rc = main(["eval", *common, "--max_views", "2"])
+    assert rc == 0
+    # no checkpoint -> clean error
+    rc = main(["eval", *common, "--save_dir", str(tmp_path / "nope")])
+    assert rc == 1
