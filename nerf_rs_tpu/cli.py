@@ -178,7 +178,6 @@ def cmd_train(args) -> int:
 
 def cmd_render(args) -> int:
     import jax
-    import jax.numpy as jnp
 
     from .data.factory import make_dataset
     from .ops import rays as rays_ops, render as render_ops

@@ -10,7 +10,6 @@ correct, just slower on large batches.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional, Tuple
 
 import numpy as np

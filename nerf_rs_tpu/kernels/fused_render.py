@@ -27,12 +27,10 @@ on tiny tensors — the FLOPs and HBM traffic both live here.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -23,15 +23,13 @@ params.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
-from .fused_render import PackedWeights, _pe_encode, enc_dims, pack_weights
+from .fused_render import PackedWeights, _pe_encode, enc_dims
 
 
 def _dotT_ab(a, b):
@@ -199,7 +197,6 @@ def _fused_bwd(
         full(packed.rgb_b),
     ]
     out_shape = _grad_shapes(packed)
-    flat_out_shape = jax.tree_util.tree_leaves(out_shape)
     out_specs = jax.tree_util.tree_map(full, out_shape)
 
     kernel = functools.partial(

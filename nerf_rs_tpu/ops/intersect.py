@@ -16,9 +16,8 @@ variant is kept for diagnostic parity; both are vectorized.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig

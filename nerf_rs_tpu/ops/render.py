@@ -21,7 +21,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import CameraConfig, Config, ModelConfig, RenderConfig
+from ..config import CameraConfig, ModelConfig, RenderConfig
 from ..models.mlp import Params, apply_nerf
 from . import sampling
 

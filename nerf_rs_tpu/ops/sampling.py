@@ -19,8 +19,6 @@ network, which the reference lacks but BASELINE config 3 requires.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

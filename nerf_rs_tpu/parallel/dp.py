@@ -13,15 +13,11 @@ Full-frame novel-view rendering shards pixel tiles along the same axis
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..models.mlp import Params
 from ..ops import render
 from ..train import step as step_mod
 from ..train.step import Batch, TrainState

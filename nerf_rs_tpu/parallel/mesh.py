@@ -14,8 +14,6 @@ the same shardings ride ICI intra-slice / DCN across slices.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -15,17 +15,16 @@ state; `scene_state(ms, i)` slices one scene out for rendering/eval.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..train import step as step_mod
 from ..train.step import Batch, TrainState
-from .mesh import DATA_AXIS, num_shards, replicated_sharding
+from .mesh import DATA_AXIS, num_shards
 
 
 def init_multiscene_state(key: jax.Array, cfg: Config, n_scenes: int) -> TrainState:

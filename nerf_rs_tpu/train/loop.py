@@ -32,7 +32,7 @@ from ..utils.profiling import Throughput
 from ..utils.tb import TBLogger
 from ..utils.term import sparkline
 from . import checkpoint as ckpt
-from .step import Batch, TrainState, init_state
+from .step import TrainState, init_state
 
 
 def _effective_config(cfg: Config, dataset) -> Config:
