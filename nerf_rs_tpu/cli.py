@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
                "train through the custom-VJP Pallas kernel pair")
 
     _bool_flag(common, "debug_nans", False, "enable jax_debug_nans")
+    common.add_argument(
+        "--preset", default="",
+        choices=["", "tiny", "full", "hierarchical", "pod"],
+        help="BASELINE.json config presets: tiny = 100x100 coarse-only "
+             "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
+             "(config 2); hierarchical = coarse 64 + fine 128, white bg "
+             "(config 3); pod = DP + highest-error resampling (config 5)",
+    )
 
     sub.add_parser("train", parents=[common])
 
@@ -101,7 +109,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_preset(args):
+    """Mutate parsed args per the named BASELINE config before building
+    the Config (explicit flags the user passed still win where they
+    differ from the parser defaults is NOT attempted — presets are
+    starting points, applied before Config construction)."""
+    p = getattr(args, "preset", "")
+    if p == "tiny":
+        args.width = args.height = 100
+        args.num_rays = 4096
+        args.num_samples = 64
+        args.num_fine_samples = 0
+    elif p == "full":
+        args.num_samples = 64
+        args.num_fine_samples = 0
+    elif p == "hierarchical":
+        args.num_samples = 64
+        args.num_fine_samples = 128
+        args.white_background = True
+    elif p == "pod":
+        args.error_resample_frac = max(args.error_resample_frac, 0.5)
+    return args
+
+
 def config_from_args(args) -> "Config":
+    args = _apply_preset(args)
     from .config import (
         CameraConfig,
         Config,
