@@ -32,8 +32,11 @@ class TBLogger:
     """Thin wrapper; no-ops cleanly when tensorboardX is unavailable."""
 
     def __init__(self, log_dir: str, run_id: Optional[str] = None):
+        import os
+
         run_id = run_id or str(int(time.time()))  # unix-ts run IDs, main.rs:31-37
         self.dir = f"{log_dir}/{run_id}"
+        os.makedirs(self.dir, exist_ok=True)  # run dir exists even w/o TB
         self.writer = SummaryWriter(self.dir) if _HAVE_TB else None
 
     def scalars(self, values: Dict[str, float], step: int):
