@@ -90,10 +90,10 @@ def main():
     render_cfg = Config(camera=rcam, render=cfg.render, train=cfg.train)
     render_fn = dp.make_dp_render(render_cfg, mesh)
     # compile
-    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=32768)
+    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
     float(jax.device_get(rgb[0, 0, 0]))
     t0 = time.perf_counter()
-    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=32768)
+    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
     float(jax.device_get(rgb[-1, -1, 0]))
     render_s = time.perf_counter() - t0
 

@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--num_devices", type=int, default=0)
     common.add_argument("--run_name", default="")
     _bool_flag(common, "compat", False, "reference-compat math (8x100 MLP, sigma-grayscale)")
-    _bool_flag(common, "use_fused_kernel", True)
+    _bool_flag(common, "use_fused_kernel", False)
     _bool_flag(common, "use_fused_train", False,
                "train through the custom-VJP Pallas kernel pair")
 

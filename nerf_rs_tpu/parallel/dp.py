@@ -96,7 +96,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 32768):
+def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
     """Sharded full-frame renderer: rays split across chips, frame
     gathered — the <2 s 800x800 novel-view path (BASELINE north star).
 

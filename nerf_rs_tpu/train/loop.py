@@ -51,7 +51,7 @@ def render_frame(
     mesh,
     render_fn=None,
     key: Optional[jax.Array] = None,
-    chunk: int = 32768,
+    chunk: int = 65536,
 ):
     """Full-frame render via the sharded renderer, chunked to bound
     memory: (H, W) rays -> (H, W, 3) rgb, (H, W) depth, (H, W) acc.
