@@ -246,17 +246,29 @@ def cmd_render(args) -> int:
         print(f"{path}  psnr={psnr:.2f}  ({time.time()-t0:.2f}s)")
         return 0
 
-    # 40-frame spherical sweep (BASELINE config 4)
+    # 40-frame spherical sweep (BASELINE config 4): all frames' rays are
+    # stacked into ONE sharded render call — per-dispatch latency on a
+    # remote/tunneled chip otherwise dominates small frames (measured
+    # 0.8 s/frame dispatched singly vs one 640k-ray call)
     path_angles = rays_ops.spherical_render_path(args.frames, args.pitch)
+    import jax.numpy as jnp
+
+    poses = rays_ops.pose_from_yaw_pitch(path_angles[:, 0], path_angles[:, 1])
+    all_o, all_d = [], []
     for i in range(args.frames):
-        yaw, pitch = path_angles[i]
-        pose = rays_ops.pose_from_yaw_pitch(yaw, pitch)
-        o, d = rays_ops.ray_grid(pose, cfg.camera)
-        rgb, _, _ = render_frame(cfg, state, o, d, mesh, render_fn)
-        save_png(os.path.join(args.out_dir, f"frame-{i:03d}.png"), np.asarray(rgb))
+        o, d = rays_ops.ray_grid(poses[i], cfg.camera)
+        all_o.append(o.reshape(-1, 3))
+        all_d.append(d.reshape(-1, 3))
+    h, w = cfg.camera.height, cfg.camera.width
+    big_o = jnp.concatenate(all_o).reshape(args.frames * h, w, 3)
+    big_d = jnp.concatenate(all_d).reshape(args.frames * h, w, 3)
+    rgb, _, _ = render_frame(cfg, state, big_o, big_d, mesh, render_fn)
+    rgb = np.asarray(rgb).reshape(args.frames, h, w, 3)
+    for i in range(args.frames):
+        save_png(os.path.join(args.out_dir, f"frame-{i:03d}.png"), rgb[i])
     dt = time.time() - t0
     print(
-        f"rendered {args.frames} frames of {cfg.camera.width}x{cfg.camera.height} "
+        f"rendered {args.frames} frames of {w}x{h} "
         f"in {dt:.2f}s ({dt/args.frames:.3f}s/frame)"
     )
     return 0
