@@ -167,9 +167,6 @@ class Config:
 
     @staticmethod
     def from_dict(d: dict) -> "Config":
-        def _sub(cls, key):
-            return cls(**d[key]) if key in d and isinstance(d[key], dict) else cls()
-
         kw = {k: v for k, v in d.items() if not isinstance(v, dict)}
         # tuples come back as lists from json
         cam = dict(d.get("camera", {}))

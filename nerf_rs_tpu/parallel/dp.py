@@ -146,7 +146,6 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
         )
         return rgb.reshape(n, 3), depth.reshape(n), acc.reshape(n)
 
-    in_fine = P() if cfg.render.num_fine_samples > 0 else None
     sharded = jax.shard_map(
         _render,
         mesh=mesh,
