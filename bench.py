@@ -92,10 +92,14 @@ def main():
     # compile
     rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
     float(jax.device_get(rgb[0, 0, 0]))
-    t0 = time.perf_counter()
-    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
-    float(jax.device_get(rgb[-1, -1, 0]))
-    render_s = time.perf_counter() - t0
+    # best of 3 (same environmental-variance defense as training)
+    render_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
+        float(jax.device_get(rgb[-1, -1, 0]))
+        render_windows.append(time.perf_counter() - t0)
+    render_s = min(render_windows)
 
     target = 20e6
     print(json.dumps({
@@ -109,6 +113,7 @@ def main():
             "window_step_ms": [round(1000.0 * w / iters, 2) for w in windows],
             "num_chips": nchips,
             "render_800x800_s": round(render_s, 3),
+            "render_windows_s": [round(w, 3) for w in render_windows],
             "device": str(jax.devices()[0].device_kind),
         },
     }))
