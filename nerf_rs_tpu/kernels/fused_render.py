@@ -22,6 +22,17 @@ arguments).
 
 Compositing stays outside (ops/render.composite): it is O(rays*samples)
 on tiny tensors — the FLOPs and HBM traffic both live here.
+
+Round-2 design note (measured motivation in docs/PERFORMANCE.md): a
+fully-fused RAY kernel reading only per-ray (o, d, ts, deltas) can be
+built WITHOUT the unsupported (R, S) <-> (R*S, 1) Mosaic reshapes by
+expressing every expansion/reduction as an MXU matmul with iota-built
+selector matrices: rows = R*S ray-major; o/d expansion o_rep = E @ o
+with E[i, i//S] = 1; t_flat = rowsum((E @ ts) * onehot(i % S));
+exclusive per-ray prefix T = L @ (sigma*delta) with L the strictly-
+lower block-diagonal mask; per-ray outputs C = E^T @ (w * [rgb, 1, t]).
+That removes the flat per-sample copies that currently make the kernel
+wrapper slower than XLA end-to-end.
 """
 
 from __future__ import annotations
