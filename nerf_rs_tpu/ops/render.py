@@ -193,10 +193,51 @@ def render_rays(
 
     viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
 
+    def fused_ray_pass(pass_params: Params, ts_pass: jnp.ndarray,
+                       pass_packed) -> RenderOut:
+        """Whole-ray Pallas path (kernels/fused_ray.py): expansion, PE,
+        MLP, and compositing all in-kernel; per-sample tensors never
+        touch HBM."""
+        from ..kernels.fused_ray import fused_ray_render
+        from ..kernels.fused_render import pack_weights
+
+        pk = pass_packed if pass_packed is not None else pack_weights(
+            pass_params, model_cfg
+        )
+        deltas = sampling.deltas_from_ts(ts_pass, camera.far)
+        S = ts_pass.shape[-1]
+        R = 32
+        npad = ((n + R - 1) // R) * R
+        o_p, d_p, vd_p, ts_p, dl_p = flat_o, flat_d, viewdirs, ts_pass, deltas
+        if npad != n:
+            pad = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((npad - n,) + a.shape[1:], fill, a.dtype)]
+            )
+            o_p, d_p, vd_p = pad(flat_o, 0.0), pad(flat_d, 1.0), pad(viewdirs, 1.0)
+            ts_p, dl_p = pad(ts_pass, 1.0), pad(deltas, 0.0)
+        interpret = jax.default_backend() != "tpu"
+        rgb, acc, depth_v, w, sig = fused_ray_render(
+            pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S,
+            rays_per_block=R, interpret=interpret,
+        )
+        rgb, acc, depth_v = rgb[:n], acc[:n], depth_v[:n]
+        w, sig = w[:n], sig[:n]
+        if render_cfg.white_background:
+            rgb = rgb + (1.0 - acc[..., None])
+        return RenderOut(rgb=rgb, weights=w, sigma=sig, depth=depth_v, acc=acc)
+
     def run_pass(pass_params: Params, ts_pass: jnp.ndarray,
                  pass_packed=None) -> RenderOut:
+        if (
+            use_fused
+            and field_fn is None
+            and not render_cfg.compat_density_color
+            and not (render_cfg.raw_noise_std > 0.0 and rand)
+        ):
+            return fused_ray_pass(pass_params, ts_pass, pass_packed)
         pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
-        if use_fused:
+        if use_fused and field_fn is not None:
+            # differentiable per-sample kernel pair (training path)
             sigma, rgb = _fused_field(
                 pass_params, pts, viewdirs[..., None, :], model_cfg,
                 packed=pass_packed, field_fn=field_fn,
