@@ -101,6 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--pitch", type=float, default=math.pi / 6)
     pr.add_argument("--out_dir", default="renders")
     pr.add_argument("--view", type=int, default=-1, help="render one dataset view instead of a sweep")
+    _bool_flag(pr, "gif", False, "also write an animated sweep.gif")
 
     pe = sub.add_parser("eval", parents=[common])
     pe.add_argument("--split", default="test", help="dataset split (blender) to evaluate")
@@ -266,6 +267,16 @@ def cmd_render(args) -> int:
     rgb = np.asarray(rgb).reshape(args.frames, h, w, 3)
     for i in range(args.frames):
         save_png(os.path.join(args.out_dir, f"frame-{i:03d}.png"), rgb[i])
+    if args.gif:
+        try:
+            import imageio
+
+            frames_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+            gif_path = os.path.join(args.out_dir, "sweep.gif")
+            imageio.mimsave(gif_path, list(frames_u8), fps=10, loop=0)
+            print(f"wrote {gif_path}")
+        except Exception as e:  # imageio is optional
+            print(f"gif skipped: {e}")
     dt = time.time() - t0
     print(
         f"rendered {args.frames} frames of {w}x{h} "
