@@ -71,7 +71,7 @@ def main():
     iters = 100
     windows = []
     base = 5
-    for w in range(3):
+    for w in range(5):
         t0 = time.perf_counter()
         for i in range(base, base + iters):
             state, aux = one_step(state, i)
