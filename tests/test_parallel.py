@@ -134,3 +134,26 @@ def test_dp_accumulation_runs():
     batch = dp.place_batch(_batch(jax.random.PRNGKey(1), cfg, 256), m)
     state, aux = step_fn(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_flagship_width_dp_step():
+    """The FULL flagship model (8x256+skip, PE 10/4) compiles and runs
+    one DP step across all 8 virtual devices — the exact program shape
+    the real multi-chip deployment uses (~15 s on CPU)."""
+    cfg = Config(
+        camera=CameraConfig(),
+        model=ModelConfig(),
+        render=RenderConfig(num_samples=64),
+        train=TrainConfig(num_rays=512, precision="mixed"),
+    )
+    m = mesh_mod.make_mesh()
+    state = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), m)
+    step_fn = dp.make_dp_train_step(cfg, m)
+    b = Batch(
+        jnp.zeros((512, 3)).at[:, 2].set(-1.0),
+        jnp.zeros((512, 3)).at[:, 2].set(1.0),
+        jnp.full((512, 3), 0.5),
+    )
+    state, aux = step_fn(state, dp.place_batch(b, m), jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(jax.device_get(state.step)) == 1
