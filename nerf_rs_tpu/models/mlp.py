@@ -152,6 +152,8 @@ def apply_nerf(
     viewdirs: jnp.ndarray,
     cfg: ModelConfig,
     dtype=None,
+    noise_std: float = 0.0,
+    noise_key: jax.Array = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the radiance field.
 
@@ -161,13 +163,16 @@ def apply_nerf(
       viewdirs: (..., 3) unit view directions (broadcastable to points),
         or None when cfg.use_viewdirs is False.
       dtype: matmul dtype (jnp.bfloat16 for MXU mixed precision).
+      noise_std/noise_key: paper-appendix regularizer — Gaussian noise
+        added to RAW sigma BEFORE the activation (the paper perturbs
+        pre-activation density; adding it post-relu changes semantics).
     Returns:
       sigma (...,) after cfg.sigma_activation, rgb (..., 3) in [0,1]
       (for compat: rgba (..., 4) — channel semantics of
       src/model.rs:119-131).
     """
     if cfg.compat:
-        return _apply_compat(params, points, cfg, dtype)
+        return _apply_compat(params, points, cfg, dtype, noise_std, noise_key)
     x = posenc(points, cfg.pos_enc_levels, cfg.include_input_in_enc)
     if dtype is not None and dtype != jnp.float32:
         x = x.astype(dtype)
@@ -191,11 +196,23 @@ def apply_nerf(
     else:
         rgb_raw = dense(feat, params["rgb"], dtype).astype(jnp.float32)
     rgb = jax.nn.sigmoid(rgb_raw) if cfg.rgb_activation == "sigmoid" else rgb_raw
+    sigma_raw = _sigma_noise(sigma_raw, noise_std, noise_key)
     return _sigma_act(sigma_raw, cfg), rgb
 
 
+def _sigma_noise(
+    sigma_raw: jnp.ndarray, noise_std: float, noise_key
+) -> jnp.ndarray:
+    if noise_std > 0.0 and noise_key is not None:
+        return sigma_raw + noise_std * jax.random.normal(
+            noise_key, sigma_raw.shape, sigma_raw.dtype
+        )
+    return sigma_raw
+
+
 def _apply_compat(
-    params: Params, points: jnp.ndarray, cfg: ModelConfig, dtype=None
+    params: Params, points: jnp.ndarray, cfg: ModelConfig, dtype=None,
+    noise_std: float = 0.0, noise_key: jax.Array = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference forward: 8 linears with ReLU between (none after fc8,
     src/model.rs:96-117); channel 0 = sigma (raw), 1.. = features
@@ -207,7 +224,9 @@ def _apply_compat(
     for layer in trunk[:-1]:
         h = _act(dense(h, layer, dtype), dtype)
     out = dense(h, trunk[-1], dtype)
-    sigma_raw = out[..., 0].astype(jnp.float32)
+    sigma_raw = _sigma_noise(
+        out[..., 0].astype(jnp.float32), noise_std, noise_key
+    )
     feat = out[..., 1:]
     h2 = _act(dense(feat, params["head1"], dtype), dtype)
     rgba = jax.nn.sigmoid(dense(h2, params["head2"], dtype).astype(jnp.float32))

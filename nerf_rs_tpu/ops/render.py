@@ -227,17 +227,28 @@ def render_rays(
         return RenderOut(rgb=rgb, weights=w, sigma=sig, depth=depth_v, acc=acc)
 
     def run_pass(pass_params: Params, ts_pass: jnp.ndarray,
-                 pass_packed=None) -> RenderOut:
+                 pass_packed=None, noise_key=None) -> RenderOut:
+        # paper-appendix sigma regularizer: noise is added to RAW sigma
+        # inside apply_nerf (pre-activation, as the paper specifies) with
+        # a DISTINCT key per pass (coarse/fine noise must be independent)
+        noise_std = (
+            render_cfg.raw_noise_std
+            if (render_cfg.raw_noise_std > 0.0 and rand)
+            else 0.0
+        )
         if (
             use_fused
             and field_fn is None
             and not render_cfg.compat_density_color
-            and not (render_cfg.raw_noise_std > 0.0 and rand)
+            and noise_std == 0.0
         ):
             return fused_ray_pass(pass_params, ts_pass, pass_packed)
         pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
-        if use_fused and field_fn is not None:
-            # differentiable per-sample kernel pair (training path)
+        if use_fused and field_fn is not None and noise_std == 0.0:
+            # differentiable per-sample kernel pair (training path);
+            # noise forces the jnp path — the kernel returns
+            # post-activation sigma, so pre-activation noise can't be
+            # applied outside it
             sigma, rgb = _fused_field(
                 pass_params, pts, viewdirs[..., None, :], model_cfg,
                 packed=pass_packed, field_fn=field_fn,
@@ -249,15 +260,9 @@ def render_rays(
             # flat (N*S, 3) tensors pay a 42x lane-padding tax; A/B'd
             # on-chip: 14.2 vs 16.9 ms/step)
             sigma, rgb = apply_nerf(
-                pass_params, pts, viewdirs[..., None, :], model_cfg, dtype
+                pass_params, pts, viewdirs[..., None, :], model_cfg, dtype,
+                noise_std=noise_std, noise_key=noise_key,
             )
-        if render_cfg.raw_noise_std > 0.0 and rand:
-            # paper-appendix sigma noise regularizer; keyed off k_fine's fold
-            noise_key = jax.random.fold_in(k_fine, 1)
-            sigma = sigma + render_cfg.raw_noise_std * jax.random.normal(
-                noise_key, sigma.shape
-            )
-            sigma = jax.nn.relu(sigma) if model_cfg.sigma_activation == "relu" else sigma
         deltas = sampling.deltas_from_ts(ts_pass, camera.far)
         if render_cfg.compat_density_color:
             colors = jnp.stack([sigma, sigma, sigma], axis=-1)
@@ -268,7 +273,8 @@ def render_rays(
             white_background=render_cfg.white_background, ts=ts_pass,
         )
 
-    coarse = run_pass(params, ts, packed)
+    coarse = run_pass(params, ts, packed,
+                      noise_key=jax.random.fold_in(k_coarse, 1))
     fine = None
     if render_cfg.num_fine_samples > 0:
         mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
@@ -283,6 +289,7 @@ def render_rays(
             fine_params if fine_params is not None else params,
             all_ts,
             fine_packed if fine_params is not None else packed,
+            noise_key=jax.random.fold_in(k_fine, 1),
         )
 
     def unflatten(out: RenderOut) -> RenderOut:

@@ -100,3 +100,85 @@ def test_render_rays_grid_input():
 def test_psnr():
     m = jnp.float32(0.01)
     assert abs(float(render.psnr_from_mse(m)) - 20.0) < 1e-4
+
+
+def test_sigma_noise_is_pre_activation():
+    """Paper appendix: noise perturbs RAW sigma BEFORE relu. With the
+    sigma bias pinned at -3 and noise_std=0.2, relu(raw + noise) is zero
+    everywhere (P(noise > 3) ~ 1e-50); the old post-activation bug
+    (relu(relu(raw)) + noise re-relu'd) would leave ~half the samples
+    positive."""
+    cfg = ModelConfig(net_depth=2, net_width=16, skip_layer=1,
+                      feature_width=16, view_head_width=8,
+                      pos_enc_levels=2, dir_enc_levels=1)
+    rcfg = RenderConfig(num_samples=16, raw_noise_std=0.2)
+    cam = CameraConfig()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    # pin raw sigma to -3: zero weights, negative bias
+    params["sigma"]["w"] = jnp.zeros_like(params["sigma"]["w"])
+    params["sigma"]["b"] = jnp.full_like(params["sigma"]["b"], -3.0)
+    o = jnp.zeros((32, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((32, 3)).at[:, 2].set(1.0)
+    out, _ = render.render_rays(params, o, d, jax.random.PRNGKey(1),
+                                cfg, rcfg, cam, randomized=True)
+    assert float(jnp.max(out.sigma)) == 0.0
+
+
+def test_sigma_noise_coarse_fine_keys_differ():
+    """Coarse and fine passes must draw INDEPENDENT noise. Evaluate the
+    same params/ts through both passes (fine_params=params, fine ts
+    include the coarse ts) and check the coarse-sample sigmas differ
+    between the two passes — identical keys (round-1 bug) made them
+    equal on shared sample points."""
+    cfg = ModelConfig(net_depth=2, net_width=16, skip_layer=1,
+                      feature_width=16, view_head_width=8,
+                      pos_enc_levels=2, dir_enc_levels=1)
+    rcfg = RenderConfig(num_samples=8, num_fine_samples=8,
+                        raw_noise_std=5.0)
+    cam = CameraConfig()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    # zero sigma head => raw sigma == 0, so sigma == relu(noise) exactly
+    params["sigma"]["w"] = jnp.zeros_like(params["sigma"]["w"])
+    params["sigma"]["b"] = jnp.zeros_like(params["sigma"]["b"])
+    o = jnp.zeros((4, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+    coarse, fine = render.render_rays(
+        params, o, d, jax.random.PRNGKey(3), cfg, rcfg, cam,
+        fine_params=params, randomized=True,
+    )
+    assert fine is not None
+    # both passes saw noise (not all-zero after relu)
+    assert float(jnp.max(coarse.sigma)) > 0.0
+    assert float(jnp.max(fine.sigma)) > 0.0
+    # noise fields are independent draws: the sigma populations differ
+    assert not np.allclose(
+        np.sort(np.asarray(coarse.sigma), axis=-1),
+        np.sort(np.asarray(fine.sigma), axis=-1)[:, -8:],
+    )
+
+
+def test_train_step_with_sigma_noise():
+    """raw_noise_std > 0 end-to-end training coverage (untested in
+    round 1): hierarchical step runs, loss finite, grads applied."""
+    from nerf_rs_tpu.config import Config, TrainConfig
+    from nerf_rs_tpu.train.step import Batch, init_state, train_step
+
+    cfg = Config(
+        camera=CameraConfig(width=16, height=16),
+        model=ModelConfig(net_depth=2, net_width=16, skip_layer=1,
+                          feature_width=16, view_head_width=8,
+                          pos_enc_levels=2, dir_enc_levels=1),
+        render=RenderConfig(num_samples=8, num_fine_samples=8,
+                            raw_noise_std=1.0),
+        train=TrainConfig(num_rays=16, precision="f32"),
+    )
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    o = jnp.zeros((16, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((16, 3)).at[:, 2].set(1.0)
+    batch = Batch(origins=o, dirs=d, gold=jnp.full((16, 3), 0.5))
+    p0 = np.asarray(state.params["sigma"]["w"])  # copy: step donates state
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1), cfg)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state.step) == 1
+    assert not np.allclose(np.asarray(state.params["sigma"]["w"]),
+                           np.asarray(p0))
