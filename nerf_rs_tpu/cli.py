@@ -70,6 +70,20 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--num_fine_samples", type=int, default=0)
     _bool_flag(common, "white_background", False)
     common.add_argument("--accumulation_steps", type=int, default=1)
+    common.add_argument(
+        "--batch_mode", default="per_ray",
+        choices=["per_ray", "multiview", "host"],
+        help="per_ray: iid on-device sampling; multiview: reference "
+             "semantics (views_per_batch views, rays split evenly, "
+             "src/dataset.rs:63-139); host: async PrefetchPipeline with "
+             "optional C++ gold gather",
+    )
+    common.add_argument("--views_per_batch", type=int, default=4,
+                        help="distinct views per batch (multiview mode)")
+    common.add_argument("--prefetch", type=int, default=2,
+                        help="host-pipeline buffered batches")
+    _bool_flag(common, "use_native_loader", True,
+               "C++ batch assembler for host-mode gold gather")
     common.add_argument("--error_resample_frac", type=float, default=0.0,
                         help="fraction of rays drawn from the per-pixel error distribution")
     common.add_argument("--error_resample_ema", type=float, default=0.5)
@@ -193,6 +207,10 @@ def config_from_args(args) -> "Config":
             view_end=args.view_end,
             view_step=args.view_step,
             num_views_per_hemisphere=args.num_views_per_hemisphere,
+            batch_mode=args.batch_mode,
+            views_per_batch=args.views_per_batch,
+            prefetch=args.prefetch,
+            use_native_loader=args.use_native_loader,
         ),
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,

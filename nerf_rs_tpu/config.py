@@ -122,9 +122,19 @@ class DataConfig:
     view_end: int = 84  # cli.rs:25-26
     view_step: int = 1  # cli.rs:28-29
     num_views_per_hemisphere: int = 6  # cli.rs:31-32
-    views_per_batch: int = 4  # number of distinct views sampled per batch
-    prefetch: int = 2  # async host pipeline depth
-    use_native_loader: bool = True  # C++ batch assembler when built
+    # batch construction:
+    #   "per_ray"   — every ray draws (view, x, y) iid on-device (default)
+    #   "multiview" — reference semantics (src/dataset.rs:63-139): sample
+    #                 views_per_batch views with replacement, split rays
+    #                 evenly (train() routes to sample_multiview_batch)
+    #   "host"      — async host PrefetchPipeline (data/pipeline.py) with
+    #                 ``prefetch`` buffered batches; gold gather via the
+    #                 C++ assembler when use_native_loader and built.
+    #                 For pixel stores too large for HBM.
+    batch_mode: str = "per_ray"
+    views_per_batch: int = 4  # distinct views per batch (multiview mode)
+    prefetch: int = 2  # async host pipeline depth (host mode)
+    use_native_loader: bool = True  # C++ batch assembler when built (host mode)
 
 
 @dataclass(frozen=True)

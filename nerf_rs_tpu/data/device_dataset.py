@@ -67,7 +67,8 @@ def _sample_per_ray(
     coords = jnp.stack([xi, yi], axis=-1).astype(jnp.float32)
     o, d = _make_rays(pose_data, mode, coords, view_idx, camera, height, width)
     gold = _gather_gold(images, view_idx, xi, yi, white_background)
-    return Batch(origins=o, dirs=d, gold=gold)
+    idx = (view_idx * height + yi) * width + xi  # flat pixel id (diagnostics)
+    return Batch(origins=o, dirs=d, gold=gold, idx=idx)
 
 
 @partial(
@@ -89,7 +90,8 @@ def _sample_multiview(
     coords = jnp.stack([xi, yi], axis=-1).astype(jnp.float32)
     o, d = _make_rays(pose_data, mode, coords, view_idx, camera, height, width)
     gold = _gather_gold(images, view_idx, xi, yi, white_background)
-    return Batch(origins=o, dirs=d, gold=gold)
+    idx = (view_idx * height + yi) * width + xi
+    return Batch(origins=o, dirs=d, gold=gold, idx=idx)
 
 
 @partial(
@@ -172,9 +174,13 @@ class DeviceDataset:
         self.white_background = white_background
         self.mode = "angles" if angles is not None else "c2w"
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
+        # host copies feed the async PrefetchPipeline (batch_mode="host")
+        # without a device round-trip
+        self.host_images = images
+        pose_host = np.asarray(angles if angles is not None else c2w, np.float32)
+        self.host_poses = pose_host
         self.images = put(images)
-        pose_host = angles if angles is not None else c2w
-        self.pose_data = put(np.asarray(pose_host, np.float32))
+        self.pose_data = put(pose_host)
 
     def sample_batch(self, key: jax.Array, num_rays: int) -> Batch:
         """``per_ray`` sampling: every ray draws (view, x, y) iid."""

@@ -30,8 +30,16 @@ def checkpoint_path(save_dir: str, step: int, ts: Optional[int] = None) -> str:
     return os.path.join(save_dir, f"checkpoint-{ts}-{step}.msgpack")
 
 
-def save(state: TrainState, save_dir: str, ts: Optional[int] = None) -> str:
-    """Write the full TrainState; returns the path."""
+def save(
+    state: TrainState, save_dir: str, ts: Optional[int] = None,
+    err_store=None,
+) -> str:
+    """Write the full TrainState; returns the path.
+
+    ``err_store`` (the highest-error resampling distribution, BASELINE
+    config 5) is part of the training trajectory: it rides along as an
+    ``.err.npy`` sidecar so resume doesn't reset the error distribution.
+    """
     os.makedirs(save_dir, exist_ok=True)
     host_state = jax.device_get(state)
     path = checkpoint_path(save_dir, int(host_state.step), ts)
@@ -40,7 +48,24 @@ def save(state: TrainState, save_dir: str, ts: Optional[int] = None) -> str:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)  # atomic: no torn checkpoints on preemption
+    if err_store is not None:
+        import numpy as np
+
+        err_path = path.replace(".msgpack", ".err.npy")
+        np.save(err_path + ".tmp.npy", jax.device_get(err_store))
+        os.replace(err_path + ".tmp.npy", err_path)
     return path
+
+
+def load_err_store(ckpt_path: str):
+    """The error-resampling sidecar saved next to ``ckpt_path``, or
+    None when the checkpoint predates error resampling."""
+    err_path = ckpt_path.replace(".msgpack", ".err.npy")
+    if not os.path.exists(err_path):
+        return None
+    import numpy as np
+
+    return np.load(err_path)
 
 
 def restore(path: str, template: TrainState) -> TrainState:

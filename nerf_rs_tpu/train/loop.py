@@ -27,9 +27,9 @@ import numpy as np
 from ..config import Config
 from ..data.factory import make_dataset
 from ..ops import render as render_ops
-from ..parallel import dp, mesh as mesh_mod
+from ..parallel import dist_init, dp, mesh as mesh_mod
 from ..utils.profiling import Throughput
-from ..utils.tb import TBLogger
+from ..utils.tb import NullLogger, TBLogger
 from ..utils.term import sparkline
 from . import checkpoint as ckpt
 from .step import TrainState, init_state
@@ -87,39 +87,63 @@ def render_frame(
 
 
 def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key,
-                     state: Optional[TrainState] = None):
+                     batch=None, state: Optional[TrainState] = None):
     """The reference's logging_steps diagnostics (SURVEY §5.5): screen
     coordinate histograms (logging.rs:13-24), ray-t histograms
-    (logging.rs:26-39), and query-point occupancy maps on the yx/zx/yz
-    world planes (logging.rs:41-107) — computed from a small diagnostic
-    ray sample so the training path stays clean."""
-    from ..ops import sampling
+    (logging.rs:26-39), query-point occupancy maps on the yx/zx/yz world
+    planes (logging.rs:41-107), density histograms/maps
+    (logging.rs:109-195), and ray-intersection screen maps
+    (logging.rs:197-247).
+
+    ``batch`` is the ACTUAL training batch of this step — its screen
+    coords come from Batch.idx (the reference logs the real batch
+    distribution, logging.rs:13-24); a fresh diagnostic sample is drawn
+    only as a fallback (host-pipeline batches carry no idx)."""
+    from ..ops import intersect, sampling
 
     k = jax.random.fold_in(jax.random.fold_in(key, it), 999)
-    batch = dataset.sample_batch(k, 1024)
-    # recover screen coords from the ray sample? the sampler draws fresh
-    # ones; log a representative independent draw instead
-    kx, ky, kt = jax.random.split(k, 3)
-    xs = jax.random.randint(kx, (1024,), 0, dataset.width)
-    ys = jax.random.randint(ky, (1024,), 0, dataset.height)
-    tb.screen_coords(np.stack([np.asarray(xs), np.asarray(ys)], -1), it)
+    if batch is None or batch.idx is None:
+        batch = dataset.sample_batch(k, 1024)
+    n = min(1024, batch.origins.shape[0])
+    origins, dirs = batch.origins[:n], batch.dirs[:n]
+    if batch.idx is not None:
+        idx = np.asarray(batch.idx[:n])
+        xs = idx % dataset.width
+        ys = (idx // dataset.width) % dataset.height
+        tb.screen_coords(np.stack([xs, ys], -1), it)
+    kt = jax.random.fold_in(k, 1)
     if cfg.render.compat_sampling:
-        ts = sampling.compat_ts(kt, 1024, cfg.render.num_samples, cfg.camera.far)
+        ts = sampling.compat_ts(kt, n, cfg.render.num_samples, cfg.camera.far)
     else:
         ts = sampling.stratified_ts(
-            kt, 1024, cfg.render.num_samples, cfg.camera.near, cfg.camera.far
+            kt, n, cfg.render.num_samples, cfg.camera.near, cfg.camera.far
         )
     tb.ray_ts(np.asarray(ts), it)
-    pts = sampling.points_from_ts(batch.origins, batch.dirs, ts)
+    pts = sampling.points_from_ts(origins, dirs, ts)
     tb.point_maps(np.asarray(pts), it, prefix="world")
+    # ray-intersection screen map over a small ray subset (the reference
+    # collects pairwise intersections of two views' rays and paints them
+    # to screen, logging.rs:197-247 / ray_sampling.rs:301-359)
+    m = min(128, n)
+    inter = intersect.pairwise_view_intersections(
+        origins[:m], dirs[:m], origins[:m], dirs[:m],
+        t_max=cfg.camera.far, tol=1e-3,
+    )
+    tb.image(
+        "intersections",
+        np.asarray(
+            intersect.trace_intersections_to_screen(
+                inter, dataset.width, dataset.height
+            )
+        ),
+        it,
+    )
     if state is not None:
         # density histogram + density-weighted maps (log_densities /
         # log_density_maps, src/logging.rs:109-195)
         from ..models.mlp import apply_nerf
 
-        sigma, _ = apply_nerf(
-            state.params, pts, batch.dirs[:, None, :], cfg.model
-        )
+        sigma, _ = apply_nerf(state.params, pts, dirs[:, None, :], cfg.model)
         tb.histogram("density", np.asarray(sigma), it)
         tb.point_maps(np.asarray(pts), it, weights=np.asarray(sigma),
                       prefix="density")
@@ -132,6 +156,11 @@ def train(
     on_step: Optional[Callable[[int, Dict[str, float]], None]] = None,
 ) -> TrainState:
     """Run the full training loop; returns the final TrainState."""
+    # multi-host: every process initializes the collective runtime
+    # BEFORE touching devices (no-op single-process); only the primary
+    # writes checkpoints/TB (SURVEY §5.8 plan)
+    dist_init.initialize()
+    primary = dist_init.is_primary()
     mesh = mesh_mod.make_mesh(cfg.num_devices)
     nchips = mesh_mod.num_shards(mesh)
     if dataset is None:
@@ -147,11 +176,12 @@ def train(
     cfg = _effective_config(cfg, dataset)
 
     run_id = cfg.run_name or str(int(time.time()))
-    tb = TBLogger(cfg.log_dir, run_id)
+    tb = TBLogger(cfg.log_dir, run_id) if primary else NullLogger()
     tb.hparams(cfg.hparams())
     run_dir = tb.dir
-    with open(os.path.join(run_dir, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    if primary:
+        with open(os.path.join(run_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
 
     key = jax.random.PRNGKey(cfg.train.seed)
     state = init_state(key, cfg)
@@ -173,10 +203,53 @@ def train(
     t_loss = None
 
     err_frac = cfg.train.error_resample_frac
-    err_store = dataset.init_error_store() if err_frac > 0 else None
+    err_store = None
+    if err_frac > 0:
+        # the error distribution is part of the training trajectory —
+        # resume it from the checkpoint sidecar when present
+        err_store = ckpt.load_err_store(load_path) if load_path else None
+        if err_store is None:
+            err_store = dataset.init_error_store()
+        else:
+            err_store = jnp.asarray(err_store)
+
+    # async host pipeline (batch_mode="host"): background thread +
+    # optional C++ gold gather; replaces on-device sampling for scenes
+    # whose pixel store shouldn't live in HBM (SURVEY §7 step 7)
+    pipeline = None
+    if cfg.data.batch_mode == "host" and err_frac <= 0:
+        from ..data.pipeline import PrefetchPipeline
+
+        pipeline = PrefetchPipeline(
+            dataset.host_images,
+            cfg.camera,
+            angles=dataset.host_poses if dataset.mode == "angles" else None,
+            c2w=dataset.host_poses if dataset.mode == "c2w" else None,
+            num_rays=num_rays,
+            white_background=dataset.white_background,
+            depth=cfg.data.prefetch,
+            seed=cfg.train.seed,
+            use_native=cfg.data.use_native_loader,
+        )
 
     if not cfg.do_train:
+        if pipeline is not None:
+            pipeline.close()
         return jax.device_get(state)
+
+    def next_batch(k):
+        if err_frac > 0:
+            return dataset.sample_batch_error_weighted(
+                k, num_rays, err_store, err_frac
+            )
+        if pipeline is not None:
+            return next(pipeline)
+        if cfg.data.batch_mode == "multiview":
+            # reference batch semantics (src/dataset.rs:63-139)
+            return dataset.sample_multiview_batch(
+                k, num_rays, cfg.data.views_per_batch
+            )
+        return dataset.sample_batch(k, num_rays)
 
     for it in range(start, cfg.train.num_iter):
         # profiler window (SURVEY §5.1: the reference has no tracing;
@@ -188,13 +261,7 @@ def train(
                 jax.profiler.stop_trace()
                 print(f"profiler trace written under {run_dir}")
         k = jax.random.fold_in(key, it)
-        if err_frac > 0:
-            batch = dataset.sample_batch_error_weighted(
-                jax.random.fold_in(k, 0), num_rays, err_store, err_frac
-            )
-        else:
-            batch = dataset.sample_batch(jax.random.fold_in(k, 0), num_rays)
-        batch = dp.place_batch(batch, mesh)
+        batch = dp.place_batch(next_batch(jax.random.fold_in(k, 0)), mesh)
         state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
         if err_frac > 0:
             from ..data.device_dataset import update_error_store
@@ -210,7 +277,7 @@ def train(
             tb.scalars({"loss": loss}, it - 1)
         t_loss = aux["loss"]  # delay host sync one step to keep device busy
 
-        if it % 50 == 0 and losses:
+        if primary and it % 50 == 0 and losses:
             print(f"iter={it}, loss={losses[-1]:.6f}  {sparkline(losses[-200:])}")
 
         # --- logging hook (mod semantics of main.rs:63) ---
@@ -219,10 +286,9 @@ def train(
             tb.scalars(stats, it)
             tb.scalars({"psnr_train": float(aux["psnr"])}, it)
             thr.reset()
-            _log_diagnostics(
-                tb, dataset, cfg, it, key,
-                state=state if cfg.log_densities_only else None,
-            )
+            if primary:
+                _log_diagnostics(tb, dataset, cfg, it, key,
+                                 batch=batch, state=state)
             if on_step:
                 on_step(it, {**stats, "loss": losses[-1] if losses else float("nan")})
 
@@ -243,18 +309,23 @@ def train(
             elif not cfg.log_densities_only:
                 tb.image("prediction", np.asarray(rgb), it)
                 tb.image("depth", np.asarray(depth / jnp.maximum(depth.max(), 1e-6)), it)
-            print(f"iter={it}, eval psnr={psnr:.2f}")
+            if primary:
+                print(f"iter={it}, eval psnr={psnr:.2f}")
 
-        # --- checkpoint hook (main.rs:81-83) ---
-        if it % cfg.train.save_steps == 0 and it > 0:
-            path = ckpt.save(state, cfg.save_dir)
+        # --- checkpoint hook (main.rs:81-83); primary-only in
+        # multi-host runs (state is replicated, one writer suffices) ---
+        if primary and it % cfg.train.save_steps == 0 and it > 0:
+            path = ckpt.save(state, cfg.save_dir, err_store=err_store)
             print(f"saved {path}")
 
         thr.tick()
 
     if t_loss is not None:
         tb.scalars({"loss": float(t_loss)}, cfg.train.num_iter - 1)
-    ckpt.save(state, cfg.save_dir)
+    if primary:
+        ckpt.save(state, cfg.save_dir, err_store=err_store)
+    if pipeline is not None:
+        pipeline.close()
     tb.flush()
     tb.close()
     return jax.device_get(state)

@@ -103,3 +103,12 @@ class TBLogger:
     def close(self):
         if self.writer:
             self.writer.close()
+
+
+class NullLogger(TBLogger):
+    """Non-primary processes in a multi-host run log nothing and create
+    no run directory (train/loop gates on dist_init.is_primary)."""
+
+    def __init__(self):  # no dir, no writer
+        self.dir = None
+        self.writer = None
