@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--num_rays", type=int, default=4096)
     common.add_argument("--num_samples", type=int, default=64)
     common.add_argument("--num_fine_samples", type=int, default=0)
+    _bool_flag(common, "share_network", False,
+               "one MLP for both hierarchical passes: the fine pass "
+               "evaluates only the new samples (fast path)")
+    common.add_argument(
+        "--fine_mode", default="union", choices=["union", "standalone"],
+        help="union: composite coarse+fine samples (paper); standalone: "
+             "composite only the fine samples (proposal-style fast path)",
+    )
     _bool_flag(common, "white_background", False)
     common.add_argument("--accumulation_steps", type=int, default=1)
     common.add_argument(
@@ -170,6 +178,8 @@ def config_from_args(args) -> "Config":
         render_cfg = RenderConfig(
             num_samples=args.num_samples,
             num_fine_samples=args.num_fine_samples,
+            share_network=args.share_network,
+            fine_mode=args.fine_mode,
             white_background=args.white_background,
         )
     return Config(

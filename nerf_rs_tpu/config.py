@@ -74,6 +74,20 @@ class RenderConfig:
 
     num_samples: int = 64  # coarse samples/ray (reference NUM_POINTS, model.rs:8)
     num_fine_samples: int = 0  # hierarchical fine samples (paper: 128)
+    # ONE network for both hierarchical passes (mip-NeRF-style) instead
+    # of the paper's separate coarse/fine MLPs. Enables the fast fine
+    # pass: only the NEW fine samples are evaluated and the union is
+    # composited from cached coarse evaluations (the paper's scheme
+    # re-evaluates every coarse point through the fine MLP).
+    share_network: bool = False
+    # Fine-pass compositing set:
+    #   "union"      — paper semantics: composite coarse ∪ fine samples.
+    #   "standalone" — proposal-style (mip-NeRF 360 / NerfAcc lineage):
+    #                  composite ONLY the fine samples; the coarse pass
+    #                  acts purely as a sampling proposal. Skips the
+    #                  per-ray union sort and the coarse re-evaluation —
+    #                  the fast hierarchical path.
+    fine_mode: str = "union"
     randomized: bool = True  # stratified jitter vs midpoints
     white_background: bool = False  # Blender scenes composite onto white
     # compat: reproduce the reference's effective t-sampling t = u*far

@@ -226,16 +226,40 @@ def render_rays(
             rgb = rgb + (1.0 - acc[..., None])
         return RenderOut(rgb=rgb, weights=w, sigma=sig, depth=depth_v, acc=acc)
 
+    # paper-appendix sigma regularizer: noise is added to RAW sigma
+    # inside apply_nerf (pre-activation, as the paper specifies) with
+    # a DISTINCT key per pass (coarse/fine noise must be independent)
+    noise_std = (
+        render_cfg.raw_noise_std
+        if (render_cfg.raw_noise_std > 0.0 and rand)
+        else 0.0
+    )
+
+    def field_eval(pass_params: Params, pts: jnp.ndarray, noise_key,
+                   pass_packed) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-sample (sigma, rgb) via the fused per-sample kernel pair
+        (training) or the jnp model."""
+        if use_fused and field_fn is not None and noise_std == 0.0:
+            # differentiable per-sample kernel pair (training path);
+            # noise forces the jnp path — the kernel returns
+            # post-activation sigma, so pre-activation noise can't be
+            # applied outside it
+            return _fused_field(
+                pass_params, pts, viewdirs[..., None, :], model_cfg,
+                packed=pass_packed, field_fn=field_fn,
+            )
+        # keep the (rays, samples, 3) shape through the MLP: XLA
+        # lowers the dense layers to convs whose layouts measure
+        # FASTER end-to-end than a flattened 2-D formulation (the
+        # flat (N*S, 3) tensors pay a 42x lane-padding tax; A/B'd
+        # on-chip: 14.2 vs 16.9 ms/step)
+        return apply_nerf(
+            pass_params, pts, viewdirs[..., None, :], model_cfg, dtype,
+            noise_std=noise_std, noise_key=noise_key,
+        )
+
     def run_pass(pass_params: Params, ts_pass: jnp.ndarray,
                  pass_packed=None, noise_key=None) -> RenderOut:
-        # paper-appendix sigma regularizer: noise is added to RAW sigma
-        # inside apply_nerf (pre-activation, as the paper specifies) with
-        # a DISTINCT key per pass (coarse/fine noise must be independent)
-        noise_std = (
-            render_cfg.raw_noise_std
-            if (render_cfg.raw_noise_std > 0.0 and rand)
-            else 0.0
-        )
         if (
             use_fused
             and field_fn is None
@@ -244,25 +268,7 @@ def render_rays(
         ):
             return fused_ray_pass(pass_params, ts_pass, pass_packed)
         pts = sampling.points_from_ts(flat_o, flat_d, ts_pass)
-        if use_fused and field_fn is not None and noise_std == 0.0:
-            # differentiable per-sample kernel pair (training path);
-            # noise forces the jnp path — the kernel returns
-            # post-activation sigma, so pre-activation noise can't be
-            # applied outside it
-            sigma, rgb = _fused_field(
-                pass_params, pts, viewdirs[..., None, :], model_cfg,
-                packed=pass_packed, field_fn=field_fn,
-            )
-        else:
-            # keep the (rays, samples, 3) shape through the MLP: XLA
-            # lowers the dense layers to convs whose layouts measure
-            # FASTER end-to-end than a flattened 2-D formulation (the
-            # flat (N*S, 3) tensors pay a 42x lane-padding tax; A/B'd
-            # on-chip: 14.2 vs 16.9 ms/step)
-            sigma, rgb = apply_nerf(
-                pass_params, pts, viewdirs[..., None, :], model_cfg, dtype,
-                noise_std=noise_std, noise_key=noise_key,
-            )
+        sigma, rgb = field_eval(pass_params, pts, noise_key, pass_packed)
         deltas = sampling.deltas_from_ts(ts_pass, camera.far)
         if render_cfg.compat_density_color:
             colors = jnp.stack([sigma, sigma, sigma], axis=-1)
@@ -273,24 +279,93 @@ def render_rays(
             white_background=render_cfg.white_background, ts=ts_pass,
         )
 
-    coarse = run_pass(params, ts, packed,
-                      noise_key=jax.random.fold_in(k_coarse, 1))
+    # shared-network hierarchical fast path (RenderConfig.share_network):
+    # ONE network serves both passes, so the fine pass evaluates ONLY the
+    # new fine samples and composites the union from the coarse pass's
+    # cached per-sample (sigma, rgb) — the paper's two-MLP scheme
+    # re-evaluates every coarse point through the fine MLP
+    # (S_c + S_f MLP rows/ray vs this path's S_f).
+    standalone = render_cfg.fine_mode == "standalone"
+    shared_fast = (
+        render_cfg.share_network
+        and not standalone
+        and render_cfg.num_fine_samples > 0
+        and fine_params is None
+        and not render_cfg.compat_density_color
+        and not (use_fused and field_fn is None)  # whole-ray kernel
+        # returns no per-sample rgb to cache
+    )
+
     fine = None
-    if render_cfg.num_fine_samples > 0:
+    if shared_fast:
+        pts_c = sampling.points_from_ts(flat_o, flat_d, ts)
+        sigma_c, rgb_c = field_eval(
+            params, pts_c, jax.random.fold_in(k_coarse, 1), packed
+        )
+        coarse = composite(
+            sigma_c, rgb_c[..., :3], sampling.deltas_from_ts(ts, camera.far),
+            white_background=render_cfg.white_background, ts=ts,
+        )
         mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
-        bins = jnp.concatenate(
-            [ts[..., :1], mids, ts[..., -1:]], axis=-1
-        )  # (N, S+1)
+        bins = jnp.concatenate([ts[..., :1], mids, ts[..., -1:]], axis=-1)
         fine_ts = sampling.sample_pdf(
             k_fine, bins, coarse.weights, render_cfg.num_fine_samples, rand
         )
-        all_ts = sampling.merge_ts(ts, fine_ts)
-        fine = run_pass(
-            fine_params if fine_params is not None else params,
-            all_ts,
-            fine_packed if fine_params is not None else packed,
-            noise_key=jax.random.fold_in(k_fine, 1),
+        pts_f = sampling.points_from_ts(flat_o, flat_d, fine_ts)
+        sigma_f, rgb_f = field_eval(
+            params, pts_f, jax.random.fold_in(k_fine, 1), packed
         )
+        # merge by ONE multi-operand lax.sort carrying sigma + the rgb
+        # channels as separate (N, 2S) scalar payloads — a
+        # take_along_axis gather of an (N, 2S, 3) color tensor pays the
+        # 42x lane-padding tax fwd and a scatter bwd (measured 80 vs
+        # 56 ms/step); channel-split payload sorting keeps every operand
+        # 2-D and gather-free
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        ts_s, sigma_u, r_u, g_u, b_u = jax.lax.sort(
+            (cat(ts, fine_ts), cat(sigma_c, sigma_f),
+             cat(rgb_c[..., 0], rgb_f[..., 0]),
+             cat(rgb_c[..., 1], rgb_f[..., 1]),
+             cat(rgb_c[..., 2], rgb_f[..., 2])),
+            num_keys=1,
+        )
+        # channel-wise compositing: all intermediates stay (N, 2S) 2-D
+        deltas_u = sampling.deltas_from_ts(ts_s, camera.far)
+        sd = sigma_u * deltas_u
+        trans = jnp.exp(-(jnp.cumsum(sd, axis=-1) - sd))
+        w = trans * (1.0 - jnp.exp(-sd))
+        rgb_out = jnp.stack(
+            [jnp.sum(w * c, axis=-1) for c in (r_u, g_u, b_u)], axis=-1
+        )
+        acc_u = jnp.sum(w, axis=-1)
+        if render_cfg.white_background:
+            rgb_out = rgb_out + (1.0 - acc_u[..., None])
+        fine = RenderOut(rgb=rgb_out, weights=w, sigma=sigma_u,
+                         depth=jnp.sum(w * ts_s, axis=-1), acc=acc_u)
+    else:
+        coarse = run_pass(params, ts, packed,
+                          noise_key=jax.random.fold_in(k_coarse, 1))
+        if render_cfg.num_fine_samples > 0:
+            mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
+            bins = jnp.concatenate(
+                [ts[..., :1], mids, ts[..., -1:]], axis=-1
+            )  # (N, S+1)
+            fine_ts = sampling.sample_pdf(
+                k_fine, bins, coarse.weights, render_cfg.num_fine_samples, rand
+            )
+            if standalone:
+                # proposal-style: the fine pass stands alone on its own
+                # (already PDF-concentrated) samples — no union sort, no
+                # coarse re-evaluation
+                all_ts = jnp.sort(fine_ts, axis=-1)
+            else:
+                all_ts = sampling.merge_ts(ts, fine_ts)
+            fine = run_pass(
+                fine_params if fine_params is not None else params,
+                all_ts,
+                fine_packed if fine_params is not None else packed,
+                noise_key=jax.random.fold_in(k_fine, 1),
+            )
 
     def unflatten(out: RenderOut) -> RenderOut:
         return RenderOut(

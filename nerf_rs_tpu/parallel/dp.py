@@ -114,6 +114,8 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
 
     def _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked):
+        if cfg.render.share_network:
+            fine_params = None  # triggers the shared fast fine pass
         coarse, fine = render.render_rays(
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,

@@ -56,12 +56,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.adam(sched)
 
 
+def _has_fine_net(cfg: Config) -> bool:
+    """Separate fine MLP (paper scheme); share_network reuses the
+    coarse MLP for both hierarchical passes (fast fine pass in
+    ops/render.render_rays)."""
+    return cfg.render.num_fine_samples > 0 and not cfg.render.share_network
+
+
 def init_state(key: jax.Array, cfg: Config) -> TrainState:
     kc, kf = jax.random.split(key)
     params = init_nerf_params(kc, cfg.model)
-    fine_params = (
-        init_nerf_params(kf, cfg.model) if cfg.render.num_fine_samples > 0 else None
-    )
+    fine_params = init_nerf_params(kf, cfg.model) if _has_fine_net(cfg) else None
     opt = make_optimizer(cfg)
     trainable = (params, fine_params) if fine_params is not None else params
     opt_state = opt.init(trainable)
@@ -83,7 +88,7 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """MSE of composited colors vs gold pixels; with hierarchical
     sampling, coarse and fine losses are summed (paper eq. 6)."""
-    if cfg.render.num_fine_samples > 0:
+    if _has_fine_net(cfg):
         params, fine_params = trainable
     else:
         params, fine_params = trainable, None
@@ -131,13 +136,13 @@ def loss_fn(
 
 
 def _trainable(state: TrainState, cfg: Config):
-    if cfg.render.num_fine_samples > 0:
+    if _has_fine_net(cfg):
         return (state.params, state.fine_params)
     return state.params
 
 
 def _untrainable(trainable, cfg: Config):
-    if cfg.render.num_fine_samples > 0:
+    if _has_fine_net(cfg):
         return trainable
     return (trainable, None)
 

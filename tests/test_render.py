@@ -182,3 +182,116 @@ def test_train_step_with_sigma_noise():
     assert int(state.step) == 1
     assert not np.allclose(np.asarray(state.params["sigma"]["w"]),
                            np.asarray(p0))
+
+
+def test_share_network_fast_path_matches_union_eval():
+    """share_network=True evaluates only the NEW fine samples and
+    composites the union from cached coarse evals; with one network and
+    deterministic sampling this must equal the baseline that re-runs
+    the full union through the MLP."""
+    cfg = ModelConfig(net_depth=2, net_width=32, skip_layer=1,
+                      feature_width=32, view_head_width=16,
+                      pos_enc_levels=4, dir_enc_levels=2)
+    cam = CameraConfig()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(2)
+    o = jax.random.normal(key, (64, 3)) * 0.1
+    o = o.at[:, 2].add(-1.0)
+    d = jnp.zeros((64, 3)).at[:, 2].set(1.0)
+    base = RenderConfig(num_samples=16, num_fine_samples=16)
+    fast = RenderConfig(num_samples=16, num_fine_samples=16,
+                        share_network=True)
+    c0, f0 = render.render_rays(params, o, d, key, cfg, base, cam,
+                                randomized=False)
+    c1, f1 = render.render_rays(params, o, d, key, cfg, fast, cam,
+                                randomized=False)
+    np.testing.assert_allclose(np.asarray(c1.rgb), np.asarray(c0.rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1.rgb), np.asarray(f0.rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1.depth), np.asarray(f0.depth),
+                               atol=1e-4)
+
+
+def test_share_network_trains():
+    from nerf_rs_tpu.config import Config, TrainConfig
+    from nerf_rs_tpu.train.step import Batch, init_state, train_step
+
+    cfg = Config(
+        camera=CameraConfig(width=16, height=16),
+        model=ModelConfig(net_depth=2, net_width=16, skip_layer=1,
+                          feature_width=16, view_head_width=8,
+                          pos_enc_levels=2, dir_enc_levels=1),
+        render=RenderConfig(num_samples=8, num_fine_samples=8,
+                            share_network=True),
+        train=TrainConfig(num_rays=32, precision="f32", learning_rate=1e-2),
+    )
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    assert state.fine_params is None  # one network
+    o = jnp.zeros((32, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((32, 3)).at[:, 2].set(1.0)
+    batch = Batch(origins=o, dirs=d, gold=jnp.full((32, 3), 0.25))
+    losses = []
+    for i in range(30):
+        state, aux = train_step(state, batch, jax.random.PRNGKey(i), cfg)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert "loss_fine" in aux
+
+
+def test_fine_mode_standalone_shapes_and_finite():
+    cfg = ModelConfig(net_depth=2, net_width=16, skip_layer=1,
+                      feature_width=16, view_head_width=8,
+                      pos_enc_levels=2, dir_enc_levels=1)
+    rcfg = RenderConfig(num_samples=8, num_fine_samples=16,
+                        share_network=True, fine_mode="standalone")
+    cam = CameraConfig()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    o = jnp.zeros((8, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+    coarse, fine = render.render_rays(params, o, d, jax.random.PRNGKey(1),
+                                      cfg, rcfg, cam)
+    assert fine.weights.shape == (8, 16)  # fine samples ONLY, no union
+    assert np.isfinite(np.asarray(fine.rgb)).all()
+    # standalone fine ts are sorted per ray (compositing requires order)
+    # weights positive only where sigma>0; depth finite
+    assert np.isfinite(float(fine.depth.sum()))
+
+
+def test_fine_mode_standalone_converges_like_union():
+    """Proposal-style fine pass must reach comparable quality: fit the
+    white-disk scene both ways, compare eval PSNR."""
+    from nerf_rs_tpu.config import Config, TrainConfig
+    from nerf_rs_tpu.data import synthetic
+    from nerf_rs_tpu.train.step import Batch, init_state, train_step
+
+    def fit(fine_mode):
+        cfg = Config(
+            camera=CameraConfig(width=32, height=32),
+            model=ModelConfig(net_depth=3, net_width=48, skip_layer=2,
+                              feature_width=48, view_head_width=24,
+                              pos_enc_levels=5, dir_enc_levels=2),
+            render=RenderConfig(num_samples=12, num_fine_samples=12,
+                                share_network=True, fine_mode=fine_mode),
+            train=TrainConfig(num_rays=256, precision="f32",
+                              learning_rate=3e-3),
+        )
+        img = synthetic.sphere_image(cfg.camera)
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(1)
+        for i in range(150):
+            k = jax.random.fold_in(key, i)
+            kc, kv = jax.random.split(k)
+            coords = jax.random.randint(kc, (256, 2), 0, 32)
+            pose = rays.pose_from_yaw_pitch(jnp.float32(0.0), jnp.float32(0.0))
+            o, d = rays.rays_for_coords(coords.astype(jnp.float32), pose,
+                                        cfg.camera)
+            gold = img[coords[:, 1], coords[:, 0], :3]
+            state, aux = train_step(state, Batch(o, d, gold),
+                                    jax.random.fold_in(k, 7), cfg)
+        return float(aux["psnr"])
+
+    p_union = fit("union")
+    p_alone = fit("standalone")
+    assert p_alone > 14.0, (p_alone, p_union)
+    assert p_alone > p_union - 4.0, (p_alone, p_union)
