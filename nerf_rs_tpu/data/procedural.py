@@ -1,0 +1,212 @@
+"""Procedural lego-class Blender scene: analytic SDF geometry +
+high-frequency texture, rendered to the standard ``transforms_{split}.json``
+layout.
+
+BASELINE.json's quality metric of record is "test PSNR on lego" at
+800x800, but the real lego dataset cannot be fetched in a zero-egress
+environment. This module generates a scene of comparable character —
+sharp multi-primitive geometry (studded slab, torus, twisted box,
+sphere) with ~12 rad/unit color texture on a white background, shot
+from an upper-hemisphere camera ring at the lego camera distance — so
+BASELINE config 3 (64+128 hierarchical) has a reproducible 800x800
+benchmark scene with honest held-out splits.
+
+Gold frames are integrated directly from the analytic field (512
+uniform samples/ray, the same compositing math as ops/render) — the
+scene is DEFINED by this integral, so the trained NeRF's test PSNR
+measures pure model fit, not renderer mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# lego-like camera geometry (NeRF synthetic: radius ~4.03, fov ~0.69)
+CAMERA_RADIUS = 4.0311
+CAMERA_ANGLE_X = 0.6911
+
+
+def _sd_sphere(p, c, r):
+    return jnp.linalg.norm(p - jnp.asarray(c), axis=-1) - r
+
+
+def _sd_box(p, c, half):
+    q = jnp.abs(p - jnp.asarray(c)) - jnp.asarray(half)
+    return jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
+        jnp.max(q, axis=-1), 0.0
+    )
+
+
+def _sd_torus(p, c, R, r):
+    q = p - jnp.asarray(c)
+    ring = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - R
+    return jnp.sqrt(ring**2 + q[..., 2] ** 2) - r
+
+
+def _twist(p, k):
+    """Rotate xy by k*z — the twisted-box high-frequency geometry."""
+    cz = jnp.cos(k * p[..., 2])
+    sz = jnp.sin(k * p[..., 2])
+    x = cz * p[..., 0] - sz * p[..., 1]
+    y = sz * p[..., 0] + cz * p[..., 1]
+    return jnp.stack([x, y, p[..., 2]], axis=-1)
+
+
+def field(points: jnp.ndarray, sharpness: float = 250.0
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic (sigma, rgb) at world ``points`` (..., 3); z is up.
+
+    sigma = 60 * sigmoid(-sdf * sharpness): razor-thin soft surfaces.
+    Colors: per-primitive palette modulated by 3-D sinusoidal texture
+    (~12 rad/unit) and an 8x checker on the slab.
+    """
+    p = points
+    # primitives (units chosen to fill roughly the lego bounding box)
+    slab = _sd_box(p, (0.0, 0.0, -0.15), (1.1, 1.1, 0.1))
+    torus = _sd_torus(p, (0.0, 0.0, 0.35), 0.62, 0.16)
+    ball = _sd_sphere(p, (0.0, 0.0, 0.78), 0.26)
+    tbox = _sd_box(_twist(p - jnp.asarray((0.55, -0.5, 0.0)), 5.0),
+                   (0.0, 0.0, 0.3), (0.16, 0.16, 0.34))
+    # 4x4 stud grid on the slab
+    gx = (jnp.round((p[..., 0] + 0.75) / 0.5) * 0.5 - 0.75).clip(-0.75, 0.75)
+    gy = (jnp.round((p[..., 1] + 0.75) / 0.5) * 0.5 - 0.75).clip(-0.75, 0.75)
+    stud_c = jnp.stack([gx, gy, jnp.full_like(gx, 0.0)], axis=-1)
+    studs = jnp.linalg.norm(
+        jnp.stack([p[..., 0] - gx, p[..., 1] - gy,
+                   (p[..., 2] - 0.06) * 1.4], axis=-1), axis=-1
+    ) - 0.09
+    del stud_c
+
+    sdfs = jnp.stack([slab, torus, ball, tbox, studs], axis=-1)
+    sdf = jnp.min(sdfs, axis=-1)
+    prim = jnp.argmin(sdfs, axis=-1)
+    sigma = 60.0 * jax.nn.sigmoid(-sdf * sharpness)
+
+    palette = jnp.asarray([
+        [0.85, 0.78, 0.25],  # slab: lego yellow
+        [0.80, 0.15, 0.12],  # torus: red
+        [0.15, 0.35, 0.85],  # ball: blue
+        [0.15, 0.75, 0.30],  # twisted box: green
+        [0.85, 0.45, 0.10],  # studs: orange
+    ], jnp.float32)
+    base = palette[prim]
+    tex = 0.5 + 0.5 * (jnp.sin(12.0 * p[..., 0]) *
+                       jnp.sin(12.0 * p[..., 1]) *
+                       jnp.sin(12.0 * p[..., 2]))
+    checker = 0.5 + 0.5 * jnp.mod(
+        jnp.floor(4.0 * p[..., 0]) + jnp.floor(4.0 * p[..., 1]), 2.0
+    )
+    mod = jnp.where(prim == 0, 0.35 + 0.65 * checker, 0.55 + 0.45 * tex)
+    # cheap lambertian-ish shading off the density gradient direction is
+    # skipped: colors stay view-independent so any radiance model fits
+    rgb = jnp.clip(base * mod[..., None], 0.0, 1.0)
+    return sigma, rgb
+
+
+def look_at_c2w(eye: np.ndarray, target=(0.0, 0.0, 0.15),
+                up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """Blender-convention c2w (camera -z forward, +y up in view)."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    u = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, u, -fwd, eye
+    return c2w
+
+
+def hemisphere_poses(n: int, seed: int, radius: float = CAMERA_RADIUS
+                     ) -> np.ndarray:
+    """n cameras on the upper hemisphere (z > 0.2 rad elevation band),
+    deterministic in seed — train/val/test use different seeds so the
+    test split is genuinely held out."""
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(0.0, 2.0 * math.pi, n)
+    elev = rng.uniform(0.15, 1.25, n)  # radians above the horizon
+    poses = []
+    for t, e in zip(theta, elev):
+        eye = radius * np.asarray([
+            math.cos(t) * math.cos(e), math.sin(t) * math.cos(e), math.sin(e)
+        ])
+        poses.append(look_at_c2w(eye))
+    return np.stack(poses).astype(np.float32)
+
+
+def render_gold(c2w, height: int, width: int, focal: float,
+                near: float = 2.0, far: float = 6.0,
+                num_samples: int = 512, chunk: int = 4096) -> np.ndarray:
+    # chunk=4096: XLA pads the (chunk, S, 3|5) point/sdf temps to 128
+    # lanes (42x), so a 65536-ray chunk at 512 samples OOMs a 16 GB HBM
+    """Integrate the analytic field to an (H, W, 4) float frame
+    (unpremultiplied rgb + alpha=acc), chunked over rays."""
+    from ..ops import rays as rays_ops
+    from ..ops.render import composite
+    from ..ops.sampling import deltas_from_ts
+
+    o, d = rays_ops.ray_grid_c2w(jnp.asarray(c2w), height, width, focal)
+    flat_o = o.reshape(-1, 3)
+    flat_d = d.reshape(-1, 3)
+    n = flat_o.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
+        flat_d = jnp.concatenate([flat_d, jnp.ones((pad, 3))])
+    ts = jnp.linspace(near, far, num_samples + 1)
+    ts = 0.5 * (ts[:-1] + ts[1:])  # bin midpoints
+
+    @jax.jit
+    def render_chunk(od):
+        oc, dc = od
+        pts = oc[:, None, :] + ts[None, :, None] * dc[:, None, :]
+        sigma, rgb = field(pts)
+        tsb = jnp.broadcast_to(ts, sigma.shape)
+        out = composite(sigma, rgb, deltas_from_ts(tsb, far), ts=tsb)
+        return out.rgb, out.acc
+
+    rgbs, accs = jax.lax.map(
+        render_chunk,
+        (flat_o.reshape(-1, chunk, 3), flat_d.reshape(-1, chunk, 3)),
+    )
+    rgb = np.asarray(rgbs.reshape(-1, 3)[:n]).reshape(height, width, 3)
+    acc = np.asarray(accs.reshape(-1)[:n]).reshape(height, width, 1)
+    un = rgb / np.maximum(acc, 1e-6)  # PNG stores unpremultiplied rgb
+    return np.clip(np.concatenate([un, acc], axis=-1), 0.0, 1.0)
+
+
+def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
+                       n_val: int = 10, n_test: int = 25,
+                       num_samples: int = 512, seed: int = 0,
+                       verbose: bool = True) -> None:
+    """Write a complete Blender-format scene directory."""
+    from .images import save_png
+
+    focal = 0.5 * size / math.tan(0.5 * CAMERA_ANGLE_X)
+    splits = [("train", n_train, seed + 1), ("val", n_val, seed + 2),
+              ("test", n_test, seed + 3)]
+    for split, n, s in splits:
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        poses = hemisphere_poses(n, s)
+        frames = []
+        for i in range(n):
+            img = render_gold(poses[i], size, size, focal,
+                              num_samples=num_samples)
+            save_png(os.path.join(out_dir, split, f"r_{i}.png"), img)
+            frames.append({
+                "file_path": f"./{split}/r_{i}",
+                "transform_matrix": poses[i].tolist(),
+            })
+            if verbose and (i + 1) % 10 == 0:
+                print(f"{split}: {i + 1}/{n} frames", flush=True)
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    if verbose:
+        print(f"scene written to {out_dir}")

@@ -1,0 +1,54 @@
+"""Procedural lego-class benchmark scene (data/procedural.py): analytic
+field sanity, gold rendering, and the full Blender-format directory
+round-tripping through the standard loader."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.data import procedural
+
+
+def test_field_density_localized():
+    # inside the slab: dense; far outside the scene: empty
+    inside = jnp.asarray([[0.0, 0.0, -0.15]])
+    outside = jnp.asarray([[3.0, 3.0, 3.0]])
+    s_in, rgb_in = procedural.field(inside)
+    s_out, _ = procedural.field(outside)
+    assert float(s_in[0]) > 30.0
+    assert float(s_out[0]) < 1e-3
+    assert 0.0 <= float(rgb_in.min()) and float(rgb_in.max()) <= 1.0
+
+
+def test_render_gold_frame():
+    size = 32
+    focal = 0.5 * size / math.tan(0.5 * procedural.CAMERA_ANGLE_X)
+    pose = procedural.hemisphere_poses(1, 7)[0]
+    img = procedural.render_gold(pose, size, size, focal,
+                                 num_samples=64, chunk=512)
+    assert img.shape == (size, size, 4)
+    assert np.isfinite(img).all()
+    # the object covers a substantial center region; corners are empty
+    assert img[..., 3].mean() > 0.2
+    assert img[0, 0, 3] < 0.05
+
+
+def test_scene_roundtrips_through_blender_loader(tmp_path):
+    from nerf_rs_tpu.data.blender import load_blender
+
+    out = str(tmp_path / "scene")
+    procedural.make_blender_scene(out, size=24, n_train=2, n_val=1,
+                                  n_test=1, num_samples=32, verbose=False)
+    scene = load_blender(out, split="train")
+    assert scene.images.shape == (2, 24, 24, 4)
+    assert scene.c2w.shape == (2, 4, 4)
+    test = load_blender(out, split="test")
+    assert test.images.shape[0] == 1
+    # held-out poses differ from training poses
+    assert not np.allclose(test.c2w[0], scene.c2w[0])
+    # cameras sit on the lego-radius sphere
+    np.testing.assert_allclose(
+        np.linalg.norm(scene.c2w[:, :3, 3], axis=-1),
+        procedural.CAMERA_RADIUS, rtol=1e-5,
+    )
