@@ -11,7 +11,11 @@ time for an 800x800 frame as a secondary field.
 
 Flagship config: paper NeRF (PE L=10/4, 8x256+skip, view head),
 stratified 64 samples/ray, 4096-ray batches, mixed precision
-(bf16 matmuls, f32 master) — BASELINE config 2.
+(bf16 matmuls, f32 master) — BASELINE config 2 — trained through the
+whole-ray fused fwd+bwd Pallas kernel (kernels/fused_train.py), the
+flagship default since round 2: activations stay in VMEM, dW
+accumulates in VMEM, measured 9.0 vs 14.9 ms/step against XLA
+autodiff on one v5e chip.
 """
 
 import json
@@ -36,7 +40,9 @@ def main():
     cfg = Config(
         camera=CameraConfig(width=128, height=128),
         render=RenderConfig(num_samples=num_samples),
-        train=TrainConfig(num_rays=num_rays, precision="mixed"),
+        train=TrainConfig(num_rays=num_rays, precision="mixed",
+                          whole_ray_block=128),
+        use_whole_ray_train=True,
     )
     mesh = mesh_mod.make_mesh()
     nchips = mesh_mod.num_shards(mesh)

@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(common, "use_fused_kernel", False)
     _bool_flag(common, "use_fused_train", False,
                "train through the custom-VJP Pallas kernel pair")
+    _bool_flag(common, "use_whole_ray_train", False,
+               "train through the whole-ray fused fwd+bwd kernel "
+               "(one Pallas launch/step, activations VMEM-resident)")
 
     _bool_flag(common, "debug_nans", False, "enable jax_debug_nans")
     common.add_argument(
@@ -143,9 +146,11 @@ def _apply_preset(args):
         args.num_rays = 4096
         args.num_samples = 64
         args.num_fine_samples = 0
+        args.use_whole_ray_train = True  # flagship default: fused kernel
     elif p == "full":
         args.num_samples = 64
         args.num_fine_samples = 0
+        args.use_whole_ray_train = True
     elif p == "hierarchical":
         args.num_samples = 64
         args.num_fine_samples = 128
@@ -225,6 +230,7 @@ def config_from_args(args) -> "Config":
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,
         use_fused_train=args.use_fused_train,
+        use_whole_ray_train=args.use_whole_ray_train,
     )
 
 

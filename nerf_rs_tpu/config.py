@@ -124,6 +124,9 @@ class TrainConfig:
     # profile_start+profile_steps) into the TB run dir (0 = off).
     profile_steps: int = 0
     profile_start: int = 10
+    # rays per grid step of the fused whole-ray train kernel
+    # (use_whole_ray_train); num_rays must divide by it.
+    whole_ray_block: int = 64
 
 
 @dataclass(frozen=True)
@@ -179,6 +182,11 @@ class Config:
     # route TRAINING through the custom-VJP fused kernel pair
     # (kernels/fused_vjp.py) instead of XLA autodiff
     use_fused_train: bool = False
+    # route TRAINING through the whole-ray fused fwd+bwd kernel
+    # (kernels/fused_train.py): one Pallas launch per step, activations
+    # VMEM-resident, dW accumulated in VMEM. Coarse-only flagship
+    # configs only (see train.step.whole_ray_supported).
+    use_whole_ray_train: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

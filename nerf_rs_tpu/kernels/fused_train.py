@@ -1,0 +1,413 @@
+"""Whole-ray fused TRAINING kernel: forward (PE -> trunk -> heads ->
+compositing -> MSE) and backward (loss grads -> compositing VJP ->
+head/trunk VJP -> dW) in ONE Pallas launch, activations resident in
+VMEM, dW accumulated across grid steps in VMEM.
+
+Why: the XLA training step is HBM-bandwidth-bound on stored
+(rays, samples, 256) activations — profiled on v5e, every major fusion
+runs at 550-700 GiB/s (8 backward-dx fusions alone cost 4.7 ms of the
+14 ms step reading stored activations). Keeping the activations of a
+ray block in VMEM for an immediately-following in-kernel backward
+removes that traffic entirely: per step this kernel reads only per-ray
+(o, d, vd, ts, deltas, gold) and writes per-ray diagnostics + one set
+of weight gradients.
+
+Design notes (each probed on real v5e Mosaic):
+  * per-sample expansion is FREE: pts = (o[:,None,:] + ts[:,:,None] *
+    d[:,None,:]).reshape(rows, 3) — leading-dim merges/splits with the
+    minor dim intact are supported relayouts, so the selector-matmul
+    machinery of kernels/fused_ray.py is needed only for the one
+    unsupported collapse (R,S) -> (rows,1) in the backward.
+  * per-sample scalars (sigma, deltas, weights, grads) live in (R, S)
+    layout; prefix/suffix sums are HIGHEST-precision triangular
+    matmuls ((R,S)@(S,S), exact to 1e-7, ~0.1% of block FLOPs) since
+    Mosaic has no cumsum lowering.
+  * bare-trunk chain measured 91-101 TFLOP/s at 4096-row blocks vs
+    XLA's 62 (flat) / 86 (conv form) — the headroom this kernel banks.
+
+Compositing VJP (w_i = T_i(1-e^{-a_i}), a = sigma*delta, T_i =
+e^{-excl cumsum a}): dL/da_k = u_k (T_k - w_k) - sum_{i>k} u_i w_i,
+with u = dL/dw; the suffix term is one strict-lower-triangular matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+from ..models.mlp import Params
+from .fused_render import PackedWeights, _pe_encode, enc_dims, pack_weights
+
+
+class PackedWeightsT(NamedTuple):
+    """Transposed weights the backward needs (built by pack_weights_t)."""
+
+    trunk_wT: Tuple[jnp.ndarray, ...]  # layers 1..depth-1: (W, W) bf16
+    feat_wT: jnp.ndarray  # (F, W) bf16
+    view_wT: jnp.ndarray  # (V, F) bf16
+    rgb_wT: jnp.ndarray  # (128, V) bf16
+    sigma_w_row: jnp.ndarray  # (1, W) f32 — sigma head column as a row
+
+
+def pack_weights_t(packed: PackedWeights, cfg: ModelConfig) -> PackedWeightsT:
+    F = cfg.feature_width
+    return PackedWeightsT(
+        trunk_wT=tuple(jnp.transpose(w) for w in packed.trunk_w[1:]),
+        feat_wT=jnp.transpose(packed.sf_w[:, :F]),
+        view_wT=jnp.transpose(packed.view_w),
+        rgb_wT=jnp.transpose(packed.rgb_w),
+        sigma_w_row=jnp.transpose(
+            packed.sf_w[:, F : F + 1].astype(jnp.float32)
+        ),
+    )
+
+
+class TrainGrads(NamedTuple):
+    """Kernel outputs in packed layout (unpack with unpack_grads)."""
+
+    diag: jnp.ndarray  # (N, 8): [r, g, b, acc, sqerr, 0, 0, 0]
+    d_trunk_w: Tuple[jnp.ndarray, ...]
+    d_skip_w: jnp.ndarray
+    d_trunk_b: jnp.ndarray  # (depth, W) stacked
+    d_sf_w: jnp.ndarray  # (W, F+128)
+    d_sf_b: jnp.ndarray  # (1, F+128)
+    d_view_w: jnp.ndarray
+    d_view_dir_w: jnp.ndarray
+    d_view_b: jnp.ndarray
+    d_rgb_w: jnp.ndarray  # (V, 128)
+    d_rgb_b: jnp.ndarray  # (1, 128)
+
+
+def _train_kernel(
+    depth: int,
+    skip_layer: int,
+    F: int,
+    pos_pad: int,
+    dir_pad: int,
+    S: int,
+    R: int,
+    white_bg: bool,
+    loss_scale: float,  # d(loss)/d(sum of squared residuals) = 1/(3N)
+    o_ref, d_ref, vd_ref, ts_ref, deltas_ref, gold_ref,
+    *refs,
+):
+    bf, f32 = jnp.bfloat16, jnp.float32
+    rows = R * S
+    hi = jax.lax.Precision.HIGHEST
+
+    # ---- unpack refs -----------------------------------------------------
+    i = 0
+    trunk_w = refs[i:i + depth]; i += depth
+    skip_w = refs[i]; i += 1
+    trunk_b = refs[i:i + depth]; i += depth
+    sf_w, sf_b, view_w, view_dir_w, view_b, rgb_w, rgb_b = refs[i:i + 7]; i += 7
+    trunk_wT = refs[i:i + depth - 1]; i += depth - 1
+    feat_wT, view_wT, rgb_wT, sigma_w_row = refs[i:i + 4]; i += 4
+    (diag_ref, *grad_refs) = refs[i:]
+    dw_trunk = grad_refs[:depth]
+    dskip_ref = grad_refs[depth]
+    db_trunk_ref = grad_refs[depth + 1]
+    (dsf_w_ref, dsf_b_ref, dview_w_ref, dview_dir_w_ref, dview_b_ref,
+     drgb_w_ref, drgb_b_ref) = grad_refs[depth + 2:]
+
+    is_first = pl.program_id(0) == 0
+
+    @pl.when(is_first)
+    def _init():
+        for r in grad_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # ---- forward ---------------------------------------------------------
+    o = o_ref[:]
+    d = d_ref[:]
+    ts = ts_ref[:]
+    deltas = deltas_ref[:]
+    pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]).reshape(rows, 3)
+    x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
+    dv_ray = _pe_encode(vd_ref[:], dir_pad)  # (R, D) f32
+    dv = jnp.broadcast_to(
+        dv_ray[:, None, :], (R, S, dir_pad)
+    ).reshape(rows, dir_pad).astype(bf)
+
+    hs = []  # post-relu activations, kept in VMEM for the backward
+    h = x
+    for li in range(depth):
+        acc = jnp.dot(h, trunk_w[li][:], preferred_element_type=f32)
+        if li == skip_layer and li > 0:
+            acc = acc + jnp.dot(x, skip_w[:], preferred_element_type=f32)
+        h = jnp.maximum(acc + trunk_b[li][:], 0.0).astype(bf)
+        hs.append(h)
+
+    sf = jnp.dot(h, sf_w[:], preferred_element_type=f32) + sf_b[:]
+    sigma_raw_rs = sf[:, F:F + 1].reshape(R, S)  # (rows,1)->(R,S) relayout
+    feat = sf[:, :F].astype(bf)
+    hv_acc = jnp.dot(feat, view_w[:], preferred_element_type=f32)
+    hv_acc = hv_acc + jnp.dot(dv, view_dir_w[:], preferred_element_type=f32)
+    hv = jnp.maximum(hv_acc + view_b[:], 0.0).astype(bf)
+    rgb_raw = (jnp.dot(hv, rgb_w[:], preferred_element_type=f32)
+               + rgb_b[:])[:, :3]  # (rows, 3)
+    rgb = jax.nn.sigmoid(rgb_raw)
+    rgb_rs = rgb.reshape(R, S, 3)
+
+    # compositing in (R, S)
+    sigma_rs = jnp.maximum(sigma_raw_rs, 0.0)
+    a = sigma_rs * deltas  # sigma*delta
+    rs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    triu_strict = (rs_i < cs_i).astype(f32)
+    tril_strict = (rs_i > cs_i).astype(f32)
+    excl = jax.lax.dot_general(a, triu_strict, (((1,), (0,)), ((), ())),
+                               precision=hi, preferred_element_type=f32)
+    trans = jnp.exp(-excl)
+    w = trans * (1.0 - jnp.exp(-a))  # (R, S)
+    C = jnp.sum(w[:, :, None] * rgb_rs, axis=1)  # (R, 3)
+    acc_r = jnp.sum(w, axis=-1, keepdims=True)  # (R, 1)
+    if white_bg:
+        C = C + (1.0 - acc_r)
+
+    gold = gold_ref[:]
+    res = C - gold  # (R, 3)
+    sqerr = jnp.mean(res * res, axis=-1, keepdims=True)  # (R, 1)
+    diag_ref[:] = jnp.concatenate(
+        [C, acc_r, sqerr, jnp.zeros((R, 3), f32)], axis=1
+    )
+
+    # ---- backward ----------------------------------------------------------
+    dC = (2.0 * loss_scale) * res  # (R, 3)
+    u = jnp.sum(rgb_rs * dC[:, None, :], axis=-1)  # dL/dw (R, S)
+    if white_bg:
+        u = u - jnp.sum(dC, axis=-1, keepdims=True)  # d(1-acc) term
+    drgb_rs = w[:, :, None] * dC[:, None, :]  # (R, S, 3)
+    drgb = drgb_rs.reshape(rows, 3)
+
+    uw = u * w
+    suffix = jax.lax.dot_general(uw, tril_strict, (((1,), (0,)), ((), ())),
+                                 precision=hi, preferred_element_type=f32)
+    da = u * (trans - w) - suffix  # dL/d(sigma*delta)
+    dsigma_rs = da * deltas * (sigma_raw_rs > 0.0).astype(f32)
+
+    # the one unsupported relayout (R,S)->(rows,1): selector matmul
+    ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 0) // S
+    colR = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 1)
+    E = (ray_of_row == colR).astype(f32)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 0) % S
+    colS = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
+    sel = (srow == colS).astype(f32)
+    dsig_rows = jax.lax.dot_general(
+        E, dsigma_rs, (((1,), (0,)), ((), ())), precision=hi,
+        preferred_element_type=f32,
+    )  # (rows, S)
+    dsigma_col = jnp.sum(dsig_rows * sel, axis=1, keepdims=True)  # (rows, 1)
+
+    # rgb head
+    drgb_raw = drgb * rgb * (1.0 - rgb)  # (rows, 3) f32
+    drgb128 = jnp.concatenate(
+        [drgb_raw, jnp.zeros((rows, 125), f32)], axis=1
+    ).astype(bf)
+    drgb_w_ref[:] += jax.lax.dot_general(
+        hv, drgb128, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    drgb_b_ref[:] += jnp.sum(drgb128.astype(f32), axis=0, keepdims=True)
+    dhv = jnp.dot(drgb128, rgb_wT[:], preferred_element_type=f32)
+    g_hv = (dhv * (hv.astype(f32) > 0.0).astype(f32)).astype(bf)
+
+    # view head
+    dview_w_ref[:] += jax.lax.dot_general(
+        feat, g_hv, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dview_dir_w_ref[:] += jax.lax.dot_general(
+        dv, g_hv, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dview_b_ref[:] += jnp.sum(g_hv.astype(f32), axis=0, keepdims=True)
+    dfeat = jnp.dot(g_hv, view_wT[:], preferred_element_type=f32)  # (rows, F)
+
+    # sigma/feature combined head (packed layout: cols 0:F feat, col F sigma)
+    dsf = jnp.concatenate(
+        [dfeat, dsigma_col, jnp.zeros((rows, 127), f32)], axis=1
+    ).astype(bf)
+    dsf_w_ref[:] += jax.lax.dot_general(
+        hs[-1], dsf, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dsf_b_ref[:] += jnp.sum(dsf.astype(f32), axis=0, keepdims=True)
+    dh = jnp.dot(dfeat.astype(bf), feat_wT[:], preferred_element_type=f32)
+    dh = dh + dsigma_col * sigma_w_row[:]  # outer-product via broadcast
+
+    # trunk
+    for li in range(depth - 1, -1, -1):
+        g = (dh * (hs[li].astype(f32) > 0.0).astype(f32)).astype(bf)
+        inp = hs[li - 1] if li > 0 else x
+        dw_trunk[li][:] += jax.lax.dot_general(
+            inp, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        if li == skip_layer and li > 0:
+            dskip_ref[:] += jax.lax.dot_general(
+                x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+        db_trunk_ref[li:li + 1, :] += jnp.sum(
+            g.astype(f32), axis=0, keepdims=True
+        )
+        if li > 0:
+            dh = jnp.dot(g, trunk_wT[li - 1][:], preferred_element_type=f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_samples", "white_bg", "rays_per_block",
+                     "interpret"),
+)
+def fused_train_grads(
+    packed: PackedWeights,
+    packedT: PackedWeightsT,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    ts: jnp.ndarray,
+    deltas: jnp.ndarray,
+    gold: jnp.ndarray,
+    cfg: ModelConfig,
+    num_samples: int,
+    white_bg: bool = False,
+    rays_per_block: int = 64,
+    interpret: bool = False,
+) -> TrainGrads:
+    """One fused forward+backward over N rays; N % rays_per_block == 0.
+
+    Returns per-ray diagnostics and PACKED weight gradients of
+    loss = mean over rays and channels of (C - gold)^2.
+    """
+    n = origins.shape[0]
+    S = num_samples
+    R = rays_per_block
+    assert n % R == 0, (n, R)
+    depth = cfg.net_depth
+    pos, pos_pad, dird, dir_pad = enc_dims(cfg)
+    W = cfg.net_width
+    F = cfg.feature_width
+    V = cfg.view_head_width
+    f32 = jnp.float32
+
+    ray_spec = lambda width: pl.BlockSpec(
+        (R, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: tuple(0 for _ in a.shape), memory_space=pltpu.VMEM
+    )
+    acc_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        ray_spec(3), ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(S),
+        ray_spec(3),
+        *[full(w) for w in packed.trunk_w], full(packed.skip_w),
+        *[full(b) for b in packed.trunk_b],
+        full(packed.sf_w), full(packed.sf_b), full(packed.view_w),
+        full(packed.view_dir_w), full(packed.view_b), full(packed.rgb_w),
+        full(packed.rgb_b),
+        *[full(w) for w in packedT.trunk_wT],
+        full(packedT.feat_wT), full(packedT.view_wT), full(packedT.rgb_wT),
+        full(packedT.sigma_w_row),
+    ]
+
+    grad_shapes = [
+        *[jax.ShapeDtypeStruct(w.shape, f32) for w in packed.trunk_w],
+        jax.ShapeDtypeStruct(packed.skip_w.shape, f32),
+        jax.ShapeDtypeStruct((depth, W), f32),
+        jax.ShapeDtypeStruct(packed.sf_w.shape, f32),
+        jax.ShapeDtypeStruct((1, F + 128), f32),
+        jax.ShapeDtypeStruct(packed.view_w.shape, f32),
+        jax.ShapeDtypeStruct(packed.view_dir_w.shape, f32),
+        jax.ShapeDtypeStruct((1, V), f32),
+        jax.ShapeDtypeStruct(packed.rgb_w.shape, f32),
+        jax.ShapeDtypeStruct((1, 128), f32),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((n, 8), f32),
+        *grad_shapes,
+    )
+    out_specs = (
+        ray_spec(8),
+        *[acc_spec(s.shape) for s in grad_shapes],
+    )
+
+    loss_scale = 1.0 / (3.0 * n)
+    kernel = functools.partial(
+        _train_kernel, depth, cfg.skip_layer, F, pos_pad, dir_pad, S, R,
+        white_bg, loss_scale,
+    )
+    flops_row = 2 * 3 * (
+        pos_pad * W + (depth - 1) * W * W + pos_pad * W + W * (F + 128)
+        + F * V + dir_pad * V + V * 128
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n // R,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_row * n * S,
+            bytes_accessed=n * (4 * 3 * 4 + 2 * S * 4 + 8 * 4),
+            transcendentals=n * S * (pos_pad + dir_pad + 4),
+        ),
+    )(origins, dirs, viewdirs, ts, deltas, gold,
+      *packed.trunk_w, packed.skip_w, *packed.trunk_b,
+      packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
+      packed.view_b, packed.rgb_w, packed.rgb_b,
+      *packedT.trunk_wT, packedT.feat_wT, packedT.view_wT, packedT.rgb_wT,
+      packedT.sigma_w_row)
+    diag = outs[0]
+    g = outs[1:]
+    return TrainGrads(
+        diag=diag,
+        d_trunk_w=tuple(g[:depth]),
+        d_skip_w=g[depth],
+        d_trunk_b=g[depth + 1],
+        d_sf_w=g[depth + 2],
+        d_sf_b=g[depth + 3],
+        d_view_w=g[depth + 4],
+        d_view_dir_w=g[depth + 5],
+        d_view_b=g[depth + 6],
+        d_rgb_w=g[depth + 7],
+        d_rgb_b=g[depth + 8],
+    )
+
+
+def unpack_grads(tg: TrainGrads, params: Params, cfg: ModelConfig) -> Params:
+    """Packed-layout gradients -> the standard parameter pytree
+    (inverse of fused_render.pack_weights' padding/splitting)."""
+    pos, pos_pad, dird, dir_pad = enc_dims(cfg)
+    W = cfg.net_width
+    F = cfg.feature_width
+    depth = cfg.net_depth
+    out = {"trunk": []}
+    for i, layer in enumerate(params["trunk"]):
+        in_dim = layer["w"].shape[0]
+        if i == cfg.skip_layer and i > 0:
+            gw = jnp.concatenate(
+                [tg.d_trunk_w[i][:W], tg.d_skip_w[: in_dim - W]], axis=0
+            )
+        else:
+            gw = tg.d_trunk_w[i][:in_dim]
+        out["trunk"].append({"w": gw, "b": tg.d_trunk_b[i]})
+    out["sigma"] = {"w": tg.d_sf_w[:, F:F + 1], "b": tg.d_sf_b[0, F:F + 1]}
+    out["feature"] = {"w": tg.d_sf_w[:, :F], "b": tg.d_sf_b[0, :F]}
+    vw = params["view1"]["w"]
+    out["view1"] = {
+        "w": jnp.concatenate(
+            [tg.d_view_w, tg.d_view_dir_w[:vw.shape[0] - F]], axis=0
+        ),
+        "b": tg.d_view_b[0],
+    }
+    out["rgb"] = {"w": tg.d_rgb_w[:, :3], "b": tg.d_rgb_b[0, :3]}
+    return out

@@ -37,6 +37,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
 
     def _local_grads(trainable, batch: Batch, key: jax.Array):
         """Per-shard (possibly micro-batched) gradient computation."""
+        if step_mod.whole_ray_supported(cfg):
+            return step_mod.whole_ray_grads(trainable, batch, key, cfg)
         if acc <= 1:
             (loss, aux), grads = jax.value_and_grad(
                 step_mod.loss_fn, has_aux=True

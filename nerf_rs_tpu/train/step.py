@@ -135,6 +135,71 @@ def loss_fn(
     return loss, aux
 
 
+def whole_ray_supported(cfg: Config) -> bool:
+    """The fused whole-ray train kernel covers the flagship coarse-only
+    paper config (kernels/fused_train.py). Hierarchical, compat, and
+    sigma-noise configs fall back to XLA autodiff."""
+    from ..ops.render import fused_supported
+
+    return (
+        cfg.use_whole_ray_train
+        and fused_supported(cfg.model)
+        and cfg.render.num_fine_samples == 0
+        and cfg.render.raw_noise_std == 0.0
+        and not cfg.render.compat_density_color
+        and cfg.train.accumulation_steps <= 1
+    )
+
+
+def whole_ray_grads(
+    params: Params, batch: Batch, key: jax.Array, cfg: Config
+) -> Tuple[Params, Dict[str, jnp.ndarray]]:
+    """Gradients + aux via the fused whole-ray fwd+bwd kernel — one
+    Pallas launch replaces value_and_grad's whole fusion graph, keeping
+    activations in VMEM (see kernels/fused_train.py)."""
+    from ..kernels.fused_render import pack_weights
+    from ..kernels.fused_train import (
+        fused_train_grads, pack_weights_t, unpack_grads,
+    )
+    from ..ops import render as render_ops, sampling
+
+    n = batch.origins.shape[0]
+    k_coarse, _ = jax.random.split(key)
+    if cfg.render.compat_sampling:
+        ts = sampling.compat_ts(
+            k_coarse, n, cfg.render.num_samples, cfg.camera.far,
+            cfg.render.randomized,
+        )
+    else:
+        ts = sampling.stratified_ts(
+            k_coarse, n, cfg.render.num_samples, cfg.camera.near,
+            cfg.camera.far, cfg.render.randomized,
+        )
+    deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
+    vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
+    pk = pack_weights(params, cfg.model)
+    pkT = pack_weights_t(pk, cfg.model)
+    rays_per_block = cfg.train.whole_ray_block
+    while n % rays_per_block != 0 and rays_per_block > 1:
+        rays_per_block //= 2  # batch must divide into whole blocks
+    tg = fused_train_grads(
+        pk, pkT, batch.origins, batch.dirs, vd, ts, deltas,
+        batch.gold[..., :3], cfg.model, cfg.render.num_samples,
+        white_bg=cfg.render.white_background,
+        rays_per_block=rays_per_block,
+        interpret=jax.default_backend() != "tpu",
+    )
+    grads = unpack_grads(tg, params, cfg.model)
+    loss = jnp.mean(tg.diag[:, 4])
+    aux = {
+        "loss": loss,
+        "loss_coarse": loss,
+        "psnr": render_ops.psnr_from_mse(loss),
+        "ray_err": jax.lax.stop_gradient(tg.diag[:, 4]),
+    }
+    return grads, aux
+
+
 def _trainable(state: TrainState, cfg: Config):
     if _has_fine_net(cfg):
         return (state.params, state.fine_params)
@@ -168,7 +233,9 @@ def train_step_core(
     trainable = _trainable(state, cfg)
     acc = cfg.train.accumulation_steps
 
-    if acc <= 1:
+    if whole_ray_supported(cfg):
+        grads, aux = whole_ray_grads(trainable, batch, key, cfg)
+    elif acc <= 1:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, batch, key, cfg
         )
