@@ -55,12 +55,14 @@ def main():
 
     key = jax.random.PRNGKey(0)
     state = dp.place_state(init_state(key, cfg), mesh)
-    step_fn = dp.make_dp_train_step(cfg, mesh)
+    # sampling fused INTO the step (one dispatch per iteration — the
+    # separate sample+place dispatches cost ~4 ms of pipeline bubbles
+    # once the fused kernel brought the step under 10 ms)
+    step_fn = dp.make_dp_train_step(cfg, mesh, dataset=ds)
 
     def one_step(state, i):
-        k = jax.random.fold_in(key, i)
-        batch = dp.place_batch(ds.sample_batch(k, num_rays), mesh)
-        return step_fn(state, batch, jax.random.fold_in(k, 1))
+        return step_fn(state, ds.images, ds.pose_data,
+                       jax.random.fold_in(key, i))
 
     # warmup / compile. NOTE: completion is forced with device_get of a
     # value data-dependent on the step — block_until_ready is not a

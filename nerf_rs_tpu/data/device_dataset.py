@@ -206,6 +206,21 @@ class DeviceDataset:
             self.width, self.num_views,
         )
 
+    def batch_from_idx(self, idx: jnp.ndarray) -> Batch:
+        """Reconstruct the exact batch a flat pixel-index vector denotes
+        (used by diagnostics when sampling happens inside the jitted
+        step and only aux['batch_idx'] leaves the device)."""
+        view_idx = idx // (self.height * self.width)
+        rem = idx % (self.height * self.width)
+        yi = rem // self.width
+        xi = rem % self.width
+        coords = jnp.stack([xi, yi], axis=-1).astype(jnp.float32)
+        o, d = _make_rays(self.pose_data, self.mode, coords, view_idx,
+                          self.camera, self.height, self.width)
+        gold = _gather_gold(self.images, view_idx, xi, yi,
+                            self.white_background)
+        return Batch(origins=o, dirs=d, gold=gold, idx=idx)
+
     # -- highest-error resampling (BASELINE config 5) -------------------------
 
     def init_error_store(self, initial: float = 1.0) -> jnp.ndarray:

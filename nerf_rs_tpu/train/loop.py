@@ -192,7 +192,16 @@ def train(
         print(f"resumed from {load_path} at step {int(state.step)}")
     state = dp.place_state(state, mesh)
 
-    step_fn = dp.make_dp_train_step(cfg, mesh)
+    # per-ray mode with no error-resampling: fuse batch sampling INTO
+    # the jitted step (one dispatch/iter; the separate sample+place
+    # dispatches cost ~4 ms of pipeline bubbles under the fused kernel)
+    fused_sampling = (
+        cfg.train.error_resample_frac <= 0
+        and cfg.data.batch_mode == "per_ray"
+    )
+    step_fn = dp.make_dp_train_step(
+        cfg, mesh, dataset=dataset if fused_sampling else None
+    )
     render_fn = dp.make_dp_render(cfg, mesh)
 
     num_rays = mesh_mod.pad_to_shards(cfg.train.num_rays, mesh)
@@ -261,8 +270,12 @@ def train(
                 jax.profiler.stop_trace()
                 print(f"profiler trace written under {run_dir}")
         k = jax.random.fold_in(key, it)
-        batch = dp.place_batch(next_batch(jax.random.fold_in(k, 0)), mesh)
-        state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
+        if fused_sampling:
+            batch = None  # sampled in-step; aux carries batch_idx
+            state, aux = step_fn(state, dataset.images, dataset.pose_data, k)
+        else:
+            batch = dp.place_batch(next_batch(jax.random.fold_in(k, 0)), mesh)
+            state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
         if err_frac > 0:
             from ..data.device_dataset import update_error_store
 
@@ -287,8 +300,11 @@ def train(
             tb.scalars({"psnr_train": float(aux["psnr"])}, it)
             thr.reset()
             if primary:
+                diag_batch = batch
+                if diag_batch is None and "batch_idx" in aux:
+                    diag_batch = dataset.batch_from_idx(aux["batch_idx"][:1024])
                 _log_diagnostics(tb, dataset, cfg, it, key,
-                                 batch=batch, state=state)
+                                 batch=diag_batch, state=state)
             if on_step:
                 on_step(it, {**stats, "loss": losses[-1] if losses else float("nan")})
 
