@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--logging_steps", type=int, default=101)
     common.add_argument("--save_steps", type=int, default=1001)
     common.add_argument("--learning_rate", type=float, default=5e-4)
+    common.add_argument("--lr_decay_steps", type=int, default=0,
+                        help="exponential decay horizon (0 = constant lr, reference behavior)")
+    common.add_argument("--lr_final", type=float, default=5e-6)
     # --- rebuild extensions ---
     common.add_argument(
         "--dataset",
@@ -204,6 +207,8 @@ def config_from_args(args) -> "Config":
         train=TrainConfig(
             num_rays=args.num_rays,
             learning_rate=args.learning_rate,
+            lr_decay_steps=args.lr_decay_steps,
+            lr_final=args.lr_final,
             num_iter=args.num_iter,
             eval_steps=args.eval_steps,
             logging_steps=args.logging_steps,
