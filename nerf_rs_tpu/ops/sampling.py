@@ -103,8 +103,14 @@ def sample_pdf(
 
     Used for hierarchical fine-network sampling: ``bins`` (..., B+1) are
     coarse t-boundaries, ``weights`` (..., B) the coarse compositing
-    weights. Returns (..., num_samples) new ts, sorted. All static
-    shapes; searchsorted vectorizes fine under jit on TPU.
+    weights. Returns (..., num_samples) new ts, SORTED per ray — the
+    randomized draw is stratified in CDF space (one jittered sample per
+    equal-mass bin), so u is monotone per ray and the CDF inverse
+    preserves order with no sort op. That matters twice on TPU: XLA's
+    sort of a (4096, 128) batch measured ~30 ms — it DOMINATED the
+    hierarchical train step (kernels: 8.8+16.5 ms) — and stratified
+    draws are lower-variance than iid uniforms (the paper's eq. 2
+    argument, applied in CDF space).
 
     The reference has no hierarchical sampling; this implements the
     capability named by BASELINE.json config 3.
@@ -114,25 +120,33 @@ def sample_pdf(
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
+    shape = cdf.shape[:-1] + (num_samples,)
     if randomized:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,))
+        u = (
+            jnp.arange(num_samples, dtype=jnp.float32)
+            + jax.random.uniform(key, shape)
+        ) / num_samples
     else:
         u = jnp.linspace(0.0, 1.0 - 1e-6, num_samples)
-        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+        u = jnp.broadcast_to(u, shape)
 
-    # index of first cdf entry > u, as one vectorized comparison —
-    # equivalent to a per-ray searchsorted(side="right") but ~15x faster
-    # on TPU (72 ms -> 4.9 ms at 4096x128x65; a vmapped searchsorted
-    # lowers to a scalar-ish binary search that the VPU hates, while the
-    # O(F*B) broadcast compare is pure vector work)
-    idx = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)
-    below = jnp.maximum(idx - 1, 0)
-    above = jnp.minimum(idx, cdf.shape[-1] - 1)
+    # interval location WITHOUT gathers: take_along_axis lowers to
+    # per-row dynamic gathers the TPU serializes; instead one broadcast
+    # compare (pure vector work — a vmapped searchsorted's scalar-ish
+    # binary search measured 15x slower still) and masked max/min
+    # reductions pick the bracketing cdf/bin entries directly.
+    mask = u[..., :, None] >= cdf[..., None, :]  # (..., F, B+1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    def below(x):  # last True position's value (x monotone, (..., B+1))
+        return jnp.max(jnp.where(mask, x[..., None, :], x[..., None, :1]),
+                       axis=-1)
+
+    def above(x):  # first False position's value
+        return jnp.min(jnp.where(mask, x[..., None, -1:], x[..., None, :]),
+                       axis=-1)
+
+    cdf_below, cdf_above = below(cdf), above(cdf)
+    bins_below, bins_above = below(bins), above(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)
