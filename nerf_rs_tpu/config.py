@@ -98,6 +98,16 @@ class RenderConfig:
     # (src/model.rs:190-206) instead of the radiance head output.
     compat_density_color: bool = False
     raw_noise_std: float = 0.0  # sigma perturbation regularizer (paper appendix)
+    # Occupancy-grid empty-space skipping (ops/occupancy.py, NerfAcc
+    # lineage): a (res^3) EMA'd density grid concentrates the per-ray
+    # sample budget in occupied bins (static shapes — the TPU form of
+    # "skipping"). 0 disables; 64 is the standard resolution.
+    occ_res: int = 0
+    occ_bins: int = 64  # ray bins tested against the grid per sample draw
+    occ_update_steps: int = 16  # grid EMA update cadence (train steps)
+    occ_decay: float = 0.95  # per-update EMA decay (NerfAcc default)
+    occ_threshold: float = 1e-2  # raw-sigma occupancy cutoff
+    occ_aabb: float = 1.0  # scene AABB half-extent, [-a, a]^3
 
 
 @dataclass(frozen=True)

@@ -72,6 +72,9 @@ class TrainGrads(NamedTuple):
     """Kernel outputs in packed layout (unpack with unpack_grads)."""
 
     diag: jnp.ndarray  # (N, 8): [r, g, b, acc, sqerr, 0, 0, 0]
+    weights: jnp.ndarray  # (N, S) compositing weights (PDF input for
+    # the hierarchical fine pass; stop-gradded by construction — the
+    # kernel emits values, no VJP flows through them)
     d_trunk_w: Tuple[jnp.ndarray, ...]
     d_skip_w: jnp.ndarray
     d_trunk_b: jnp.ndarray  # (depth, W) stacked
@@ -109,7 +112,7 @@ def _train_kernel(
     sf_w, sf_b, view_w, view_dir_w, view_b, rgb_w, rgb_b = refs[i:i + 7]; i += 7
     trunk_wT = refs[i:i + depth - 1]; i += depth - 1
     feat_wT, view_wT, rgb_wT, sigma_w_row = refs[i:i + 4]; i += 4
-    (diag_ref, *grad_refs) = refs[i:]
+    (diag_ref, w_ref, *grad_refs) = refs[i:]
     dw_trunk = grad_refs[:depth]
     dskip_ref = grad_refs[depth]
     db_trunk_ref = grad_refs[depth + 1]
@@ -171,6 +174,7 @@ def _train_kernel(
     if white_bg:
         C = C + (1.0 - acc_r)
 
+    w_ref[:] = w  # per-ray weights out (hierarchical PDF input)
     gold = gold_ref[:]
     res = C - gold  # (R, 3)
     sqerr = jnp.mean(res * res, axis=-1, keepdims=True)  # (R, 1)
@@ -329,10 +333,12 @@ def fused_train_grads(
     ]
     out_shape = (
         jax.ShapeDtypeStruct((n, 8), f32),
+        jax.ShapeDtypeStruct((n, S), f32),
         *grad_shapes,
     )
     out_specs = (
         ray_spec(8),
+        ray_spec(S),
         *[acc_spec(s.shape) for s in grad_shapes],
     )
 
@@ -357,7 +363,7 @@ def fused_train_grads(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_row * n * S,
-            bytes_accessed=n * (4 * 3 * 4 + 2 * S * 4 + 8 * 4),
+            bytes_accessed=n * (4 * 3 * 4 + 3 * S * 4 + 8 * 4),
             transcendentals=n * S * (pos_pad + dir_pad + 4),
         ),
     )(origins, dirs, viewdirs, ts, deltas, gold,
@@ -367,9 +373,11 @@ def fused_train_grads(
       *packedT.trunk_wT, packedT.feat_wT, packedT.view_wT, packedT.rgb_wT,
       packedT.sigma_w_row)
     diag = outs[0]
-    g = outs[1:]
+    weights = outs[1]
+    g = outs[2:]
     return TrainGrads(
         diag=diag,
+        weights=weights,
         d_trunk_w=tuple(g[:depth]),
         d_skip_w=g[depth],
         d_trunk_b=g[depth + 1],

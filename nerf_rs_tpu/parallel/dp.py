@@ -43,6 +43,17 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     opt = step_mod.make_optimizer(cfg)
     nshards = num_shards(mesh)
     acc = cfg.train.accumulation_steps
+    # On a 1-device mesh the shard_map wrapper costs ~1.4 ms/step of
+    # dispatch overhead (measured v5e: plain step 8.6 ms -> +shard_map
+    # 10.0); collapse to the plain jitted step. Numerics are identical:
+    # axis_index == 0 and pmean over one shard is the identity.
+    single = nshards == 1
+
+    def _axis_index():
+        return 0 if single else jax.lax.axis_index(DATA_AXIS)
+
+    def _pmean(x):
+        return x if single else jax.lax.pmean(x, DATA_AXIS)
     if dataset is not None:
         from ..data.device_dataset import _sample_per_ray
 
@@ -50,14 +61,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         ds_meta = (dataset.mode, dataset.white_background, dataset.camera,
                    dataset.height, dataset.width, dataset.num_views)
 
-    def _local_grads(trainable, batch: Batch, key: jax.Array):
+    def _local_grads(trainable, batch: Batch, key: jax.Array, grid=None):
         """Per-shard (possibly micro-batched) gradient computation."""
         if step_mod.whole_ray_supported(cfg):
-            return step_mod.whole_ray_grads(trainable, batch, key, cfg)
+            return step_mod.whole_ray_grads(trainable, batch, key, cfg, grid)
         if acc <= 1:
             (loss, aux), grads = jax.value_and_grad(
                 step_mod.loss_fn, has_aux=True
-            )(trainable, batch, key, cfg)
+            )(trainable, batch, key, cfg, grid)
             return grads, aux
         n = batch.origins.shape[0]
         micro = n // acc
@@ -69,7 +80,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         def body(g_sum, xs):
             b, k = xs
             (_, aux_i), g = jax.value_and_grad(step_mod.loss_fn, has_aux=True)(
-                trainable, b, k, cfg
+                trainable, b, k, cfg, grid
             )
             return jax.tree_util.tree_map(jnp.add, g_sum, g), aux_i
 
@@ -80,22 +91,25 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         return grads, aux
 
     def _step(state: TrainState, batch: Batch, key: jax.Array):
-        shard = jax.lax.axis_index(DATA_AXIS)
-        key = jax.random.fold_in(key, shard)
+        key = jax.random.fold_in(key, _axis_index())
         trainable = step_mod._trainable(state, cfg)
-        grads, aux = _local_grads(trainable, batch, key)
+        grads, aux = _local_grads(trainable, batch, key, state.grid)
         ray_err = aux.pop("ray_err")  # per-ray, stays sharded
         # ICI gradient sync — mean over shards (each shard already
         # averaged over its local rays, shards hold equal ray counts)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        aux = jax.lax.pmean(aux, DATA_AXIS)
+        grads = _pmean(grads)
+        aux = _pmean(aux)
         aux["ray_err"] = ray_err
         updates, opt_state = opt.update(grads, state.opt_state, trainable)
         import optax
 
         trainable = optax.apply_updates(trainable, updates)
         params, fine_params = step_mod._untrainable(trainable, cfg)
-        return TrainState(state.step + 1, params, fine_params, opt_state), aux
+        new_state = state._replace(
+            step=state.step + 1, params=params, fine_params=fine_params,
+            opt_state=opt_state,
+        )
+        return new_state, aux
 
     aux_spec = {
         "loss": P(), "loss_coarse": P(), "psnr": P(),
@@ -107,8 +121,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     if dataset is not None:
         def _step_sampling(state: TrainState, images, pose_data,
                            key: jax.Array):
-            shard = jax.lax.axis_index(DATA_AXIS)
-            k = jax.random.fold_in(key, shard)
+            k = jax.random.fold_in(key, _axis_index())
             mode, white_bg, camera, h, w, nviews = ds_meta
             batch = _sample_per_ray(
                 images, pose_data, jax.random.fold_in(k, 0), per_shard,
@@ -116,11 +129,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
             )
             trainable = step_mod._trainable(state, cfg)
             grads, aux = _local_grads(
-                trainable, batch, jax.random.fold_in(k, 1)
+                trainable, batch, jax.random.fold_in(k, 1), state.grid
             )
             ray_err = aux.pop("ray_err")
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            aux = jax.lax.pmean(aux, DATA_AXIS)
+            grads = _pmean(grads)
+            aux = _pmean(aux)
             aux["ray_err"] = ray_err
             aux["batch_idx"] = batch.idx
             updates, opt_state = opt.update(grads, state.opt_state, trainable)
@@ -128,11 +141,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
 
             trainable = optax.apply_updates(trainable, updates)
             params, fine_params = step_mod._untrainable(trainable, cfg)
-            return (
-                TrainState(state.step + 1, params, fine_params, opt_state),
-                aux,
+            new_state = state._replace(
+                step=state.step + 1, params=params, fine_params=fine_params,
+                opt_state=opt_state,
             )
+            return new_state, aux
 
+        if single:
+            return jax.jit(_step_sampling, donate_argnums=(0,))
         spec = dict(aux_spec)
         spec["batch_idx"] = P(DATA_AXIS)
         sharded = jax.shard_map(
@@ -144,6 +160,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         )
         return jax.jit(sharded, donate_argnums=(0,))
 
+    if single:
+        return jax.jit(_step, donate_argnums=(0,))
     sharded = jax.shard_map(
         _step,
         mesh=mesh,
@@ -182,8 +200,10 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc
 
+    single = num_shards(mesh) == 1
+
     def _render(params, fine_params, origins, dirs, key):
-        shard = jax.lax.axis_index(DATA_AXIS)
+        shard = 0 if single else jax.lax.axis_index(DATA_AXIS)
         key = jax.random.fold_in(key, shard)
         # pack the kernel weights ONCE per frame, outside the chunk loop
         packed = fpacked = None
@@ -206,6 +226,8 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
         )
         return rgb.reshape(n, 3), depth.reshape(n), acc.reshape(n)
 
+    if single:
+        return jax.jit(_render)
     sharded = jax.shard_map(
         _render,
         mesh=mesh,

@@ -29,6 +29,10 @@ class TrainState(NamedTuple):
     params: Params
     fine_params: Optional[Params]
     opt_state: Any
+    # occupancy grid (ops/occupancy.py) when cfg.render.occ_res > 0:
+    # (res, res, res) f32 EMA'd densities, updated OUTSIDE the train
+    # step every occ_update_steps and checkpointed with the state.
+    grid: Optional[jnp.ndarray] = None
 
 
 class Batch(NamedTuple):
@@ -70,7 +74,14 @@ def init_state(key: jax.Array, cfg: Config) -> TrainState:
     opt = make_optimizer(cfg)
     trainable = (params, fine_params) if fine_params is not None else params
     opt_state = opt.init(trainable)
-    return TrainState(jnp.zeros((), jnp.int32), params, fine_params, opt_state)
+    grid = None
+    if cfg.render.occ_res > 0:
+        from ..ops import occupancy
+
+        grid = occupancy.init_grid(cfg.render.occ_res)
+    return TrainState(
+        jnp.zeros((), jnp.int32), params, fine_params, opt_state, grid
+    )
 
 
 def _matmul_dtype(cfg: Config):
@@ -85,6 +96,7 @@ def loss_fn(
     batch: Batch,
     key: jax.Array,
     cfg: Config,
+    grid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """MSE of composited colors vs gold pixels; with hierarchical
     sampling, coarse and fine losses are summed (paper eq. 6)."""
@@ -113,6 +125,7 @@ def loss_fn(
         dtype=_matmul_dtype(cfg),
         use_fused=use_fused,
         field_fn=field_fn,
+        grid=grid,
     )
     gold_rgb = batch.gold[..., :3]
     loss_c = render.mse(coarse.rgb[..., :3], gold_rgb)
@@ -136,36 +149,86 @@ def loss_fn(
 
 
 def whole_ray_supported(cfg: Config) -> bool:
-    """The fused whole-ray train kernel covers the flagship coarse-only
-    paper config (kernels/fused_train.py). Hierarchical, compat, and
-    sigma-noise configs fall back to XLA autodiff."""
+    """The fused whole-ray train kernel covers the paper-architecture
+    configs, coarse-only AND hierarchical (as a coarse-kernel -> XLA
+    PDF-resample -> fine-kernel chain). Compat and sigma-noise configs
+    fall back to XLA autodiff."""
     from ..ops.render import fused_supported
 
     return (
         cfg.use_whole_ray_train
         and fused_supported(cfg.model)
-        and cfg.render.num_fine_samples == 0
         and cfg.render.raw_noise_std == 0.0
         and not cfg.render.compat_density_color
         and cfg.train.accumulation_steps <= 1
     )
 
 
-def whole_ray_grads(
-    params: Params, batch: Batch, key: jax.Array, cfg: Config
-) -> Tuple[Params, Dict[str, jnp.ndarray]]:
-    """Gradients + aux via the fused whole-ray fwd+bwd kernel — one
-    Pallas launch replaces value_and_grad's whole fusion graph, keeping
-    activations in VMEM (see kernels/fused_train.py)."""
+def _whole_ray_pass(
+    params: Params, batch: Batch, vd: jnp.ndarray, ts: jnp.ndarray,
+    cfg: Config,
+):
+    """One fused fwd+bwd kernel launch over ``ts`` samples; returns
+    (grads pytree, TrainGrads)."""
     from ..kernels.fused_render import pack_weights
     from ..kernels.fused_train import (
         fused_train_grads, pack_weights_t, unpack_grads,
     )
-    from ..ops import render as render_ops, sampling
+    from ..ops import sampling
 
     n = batch.origins.shape[0]
-    k_coarse, _ = jax.random.split(key)
-    if cfg.render.compat_sampling:
+    S = ts.shape[-1]
+    deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
+    pk = pack_weights(params, cfg.model)
+    pkT = pack_weights_t(pk, cfg.model)
+    # keep VMEM-resident activations bounded: scale the ray block so
+    # rows-per-block (R*S) stays at the tuned S=64 operating point
+    rays_per_block = max(1, (cfg.train.whole_ray_block * 64) // S)
+    rays_per_block = 1 << (rays_per_block.bit_length() - 1)  # floor pow2
+    while n % rays_per_block != 0 and rays_per_block > 1:
+        rays_per_block //= 2  # batch must divide into whole blocks
+    tg = fused_train_grads(
+        pk, pkT, batch.origins, batch.dirs, vd, ts, deltas,
+        batch.gold[..., :3], cfg.model, S,
+        white_bg=cfg.render.white_background,
+        rays_per_block=rays_per_block,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return unpack_grads(tg, params, cfg.model), tg
+
+
+def whole_ray_grads(
+    trainable, batch: Batch, key: jax.Array, cfg: Config,
+    grid: Optional[jnp.ndarray] = None,
+) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+    """Gradients + aux via the fused whole-ray fwd+bwd kernel — one
+    Pallas launch per pass replaces value_and_grad's whole fusion graph,
+    keeping activations in VMEM (see kernels/fused_train.py).
+
+    Hierarchical configs run the chain: coarse kernel (which emits the
+    per-ray compositing weights) -> inverse-CDF resample in XLA ->
+    fine kernel; losses sum per the paper (eq. 6) and so do the shared-
+    network gradients. ``trainable`` is ``params`` or, with a separate
+    fine MLP, ``(params, fine_params)`` — matching loss_fn's contract.
+    """
+    from ..ops import render as render_ops, sampling
+
+    if _has_fine_net(cfg):
+        params, fine_params = trainable
+    else:
+        params, fine_params = trainable, None
+
+    n = batch.origins.shape[0]
+    k_coarse, k_fine = jax.random.split(key)
+    if grid is not None and not cfg.render.compat_sampling:
+        from ..ops import occupancy
+
+        ts = occupancy.occupancy_ts(
+            k_coarse, batch.origins, batch.dirs, grid,
+            cfg.render.num_samples, cfg.camera, cfg.render,
+            cfg.render.randomized,
+        )
+    elif cfg.render.compat_sampling:
         ts = sampling.compat_ts(
             k_coarse, n, cfg.render.num_samples, cfg.camera.far,
             cfg.render.randomized,
@@ -175,27 +238,45 @@ def whole_ray_grads(
             k_coarse, n, cfg.render.num_samples, cfg.camera.near,
             cfg.camera.far, cfg.render.randomized,
         )
-    deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
-    pk = pack_weights(params, cfg.model)
-    pkT = pack_weights_t(pk, cfg.model)
-    rays_per_block = cfg.train.whole_ray_block
-    while n % rays_per_block != 0 and rays_per_block > 1:
-        rays_per_block //= 2  # batch must divide into whole blocks
-    tg = fused_train_grads(
-        pk, pkT, batch.origins, batch.dirs, vd, ts, deltas,
-        batch.gold[..., :3], cfg.model, cfg.render.num_samples,
-        white_bg=cfg.render.white_background,
-        rays_per_block=rays_per_block,
-        interpret=jax.default_backend() != "tpu",
+    grads_c, tg_c = _whole_ray_pass(params, batch, vd, ts, cfg)
+    loss_c = jnp.mean(tg_c.diag[:, 4])
+
+    if cfg.render.num_fine_samples == 0:
+        aux = {
+            "loss": loss_c,
+            "loss_coarse": loss_c,
+            "psnr": render_ops.psnr_from_mse(loss_c),
+            "ray_err": jax.lax.stop_gradient(tg_c.diag[:, 4]),
+        }
+        return grads_c, aux
+
+    # hierarchical fine pass on PDF-resampled ts (kernel weights are
+    # values, not traced grads — no stop_gradient plumbing needed)
+    mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
+    bins = jnp.concatenate([ts[..., :1], mids, ts[..., -1:]], axis=-1)
+    fine_ts = sampling.sample_pdf(
+        k_fine, bins, tg_c.weights, cfg.render.num_fine_samples,
+        cfg.render.randomized,
     )
-    grads = unpack_grads(tg, params, cfg.model)
-    loss = jnp.mean(tg.diag[:, 4])
+    if cfg.render.fine_mode == "standalone":
+        all_ts = fine_ts  # sample_pdf output is sorted by construction
+    else:
+        all_ts = sampling.merge_ts(ts, fine_ts)
+    fparams = fine_params if fine_params is not None else params
+    grads_f, tg_f = _whole_ray_pass(fparams, batch, vd, all_ts, cfg)
+    loss_f = jnp.mean(tg_f.diag[:, 4])
+
+    if fine_params is not None:
+        grads = (grads_c, grads_f)
+    else:  # shared network: both passes' gradients land on one pytree
+        grads = jax.tree_util.tree_map(jnp.add, grads_c, grads_f)
     aux = {
-        "loss": loss,
-        "loss_coarse": loss,
-        "psnr": render_ops.psnr_from_mse(loss),
-        "ray_err": jax.lax.stop_gradient(tg.diag[:, 4]),
+        "loss": loss_c + loss_f,
+        "loss_coarse": loss_c,
+        "loss_fine": loss_f,
+        "psnr": render_ops.psnr_from_mse(loss_f),
+        "ray_err": jax.lax.stop_gradient(tg_f.diag[:, 4]),
     }
     return grads, aux
 
@@ -234,10 +315,10 @@ def train_step_core(
     acc = cfg.train.accumulation_steps
 
     if whole_ray_supported(cfg):
-        grads, aux = whole_ray_grads(trainable, batch, key, cfg)
+        grads, aux = whole_ray_grads(trainable, batch, key, cfg, state.grid)
     elif acc <= 1:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, batch, key, cfg
+            trainable, batch, key, cfg, state.grid
         )
     else:
         n = batch.origins.shape[0]
@@ -251,7 +332,7 @@ def train_step_core(
             g_sum, l_sum = carry
             b, k = xs
             (l, aux_i), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable, b, k, cfg
+                trainable, b, k, cfg, state.grid
             )
             g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
             return (g_sum, l_sum + l), aux_i
@@ -269,7 +350,10 @@ def train_step_core(
     updates, opt_state = opt.update(grads, state.opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)
     params, fine_params = _untrainable(trainable, cfg)
-    new_state = TrainState(state.step + 1, params, fine_params, opt_state)
+    new_state = state._replace(
+        step=state.step + 1, params=params, fine_params=fine_params,
+        opt_state=opt_state,
+    )
     return new_state, aux
 
 

@@ -154,6 +154,115 @@ def test_whole_ray_train_step_converges():
     assert aux["ray_err"].shape == (N,)
 
 
+def test_kernel_weights_match_jnp_compositing():
+    """The kernel's per-ray weights output (the hierarchical PDF input)
+    must match composite()'s weights."""
+    params = init_nerf_params(jax.random.PRNGKey(6), CFG)
+    o, d, vd, ts, deltas, gold = _data(jax.random.PRNGKey(7))
+    packed = pack_weights(params, CFG)
+    tg = fused_train_grads(packed, pack_weights_t(packed, CFG),
+                           o, d, vd, ts, deltas, gold, CFG, S,
+                           rays_per_block=R, interpret=True)
+    _, out_ref = _jnp_loss(params, o, d, vd, ts, deltas, gold, False)
+    assert tg.weights.shape == (N, S)
+    np.testing.assert_allclose(np.asarray(tg.weights),
+                               np.asarray(out_ref.weights), atol=2e-2)
+
+
+def test_hierarchical_chain_matches_autodiff():
+    """whole_ray_grads' coarse-kernel -> PDF-resample -> fine-kernel
+    chain (shared network, standalone fine mode) must match jax.grad of
+    the equivalent two-pass jnp loss evaluated at the same sample sets."""
+    from nerf_rs_tpu.config import Config, TrainConfig
+    from nerf_rs_tpu.train.step import Batch, whole_ray_grads
+
+    cfg = Config(
+        camera=CameraConfig(),
+        model=CFG,
+        render=RenderConfig(num_samples=S, num_fine_samples=S,
+                            share_network=True, fine_mode="standalone",
+                            randomized=False),
+        train=TrainConfig(num_rays=N, precision="mixed", whole_ray_block=R),
+        use_whole_ray_train=True,
+    )
+    params = init_nerf_params(jax.random.PRNGKey(8), CFG)
+    params["sigma"]["b"] = params["sigma"]["b"] + 0.5  # non-transparent
+    ko, kd, kg = jax.random.split(jax.random.PRNGKey(9), 3)
+    o = (jax.random.normal(ko, (N, 3)) * 0.1).at[:, 2].add(-1.0)
+    d = (jax.random.normal(kd, (N, 3)) * 0.05).at[:, 2].add(1.0)
+    vd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    gold = jax.random.uniform(kg, (N, 3))
+    batch = Batch(origins=o, dirs=d, gold=gold)
+
+    grads, aux = whole_ray_grads(params, batch, jax.random.PRNGKey(10), cfg)
+    assert set(aux) >= {"loss", "loss_coarse", "loss_fine", "psnr", "ray_err"}
+
+    # reproduce the chain's sample sets: midpoint coarse ts, then the
+    # deterministic inverse-CDF resample of the KERNEL's coarse weights
+    ts = sampling.stratified_ts(jax.random.PRNGKey(0), N, S,
+                                cfg.camera.near, cfg.camera.far, False)
+    deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
+    packed = pack_weights(params, CFG)
+    tg_c = fused_train_grads(packed, pack_weights_t(packed, CFG),
+                             o, d, vd, ts, deltas, gold, CFG, S,
+                             rays_per_block=R, interpret=True)
+    mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
+    bins = jnp.concatenate([ts[..., :1], mids, ts[..., -1:]], axis=-1)
+    fine_ts = jnp.sort(sampling.sample_pdf(
+        jax.random.PRNGKey(0), bins, tg_c.weights, S, False), axis=-1)
+
+    def two_pass_loss(p):
+        lc, _ = _jnp_loss(p, o, d, vd, ts, deltas, gold, False)
+        lf, _ = _jnp_loss(p, o, d, vd, fine_ts,
+                          sampling.deltas_from_ts(fine_ts, cfg.camera.far),
+                          gold, False)
+        return lc + lf
+
+    loss_ref, grads_ref = jax.value_and_grad(two_pass_loss)(params)
+    assert abs(float(aux["loss"]) - float(loss_ref)) < 4e-3
+    for gk, gr in zip(jax.tree_util.tree_leaves(grads),
+                      jax.tree_util.tree_leaves(grads_ref)):
+        scale = max(np.abs(np.asarray(gr)).max(), 1e-8)
+        np.testing.assert_allclose(np.asarray(gk) / scale,
+                                   np.asarray(gr) / scale, atol=5e-2)
+
+
+def test_hierarchical_whole_ray_train_converges():
+    """End-to-end: hierarchical train_step through the kernel chain
+    descends, for the shared-net and separate-fine-net variants."""
+    from nerf_rs_tpu.config import Config, TrainConfig
+    from nerf_rs_tpu.train.step import (
+        Batch, init_state, train_step, whole_ray_supported,
+    )
+
+    for share in (True, False):
+        cfg = Config(
+            camera=CameraConfig(),
+            model=CFG,
+            render=RenderConfig(num_samples=S, num_fine_samples=S,
+                                share_network=share,
+                                fine_mode="standalone" if share else "union"),
+            train=TrainConfig(num_rays=N, precision="mixed",
+                              learning_rate=1e-2, whole_ray_block=R),
+            use_whole_ray_train=True,
+        )
+        assert whole_ray_supported(cfg)
+        state = init_state(jax.random.PRNGKey(0), cfg)
+        state.params["sigma"]["b"] = state.params["sigma"]["b"] + 0.5
+        if state.fine_params is not None:
+            state.fine_params["sigma"]["b"] = (
+                state.fine_params["sigma"]["b"] + 0.5
+            )
+        o, d, vd, ts, deltas, gold = _data(jax.random.PRNGKey(1))
+        batch = Batch(origins=o, dirs=d, gold=gold)
+        losses = []
+        for i in range(20):
+            state, aux = train_step(state, batch, jax.random.PRNGKey(i), cfg)
+            losses.append(float(aux["loss"]))
+        assert losses[-1] < losses[0] * 0.8, (share, losses[::5])
+        assert "loss_fine" in aux
+
+
 def test_whole_ray_dp_step_matches_single_device():
     """The DP wrapper routes through the kernel per shard; the 8-way
     sharded step must track the single-device step numerically."""

@@ -84,6 +84,32 @@ def test_dp_grads_match_single_device():
     )
 
 
+def test_single_device_mesh_matches_plain_step():
+    """A 1-device mesh takes the plain-jit fast path (no shard_map —
+    measured +1.4 ms/step of wrapper overhead on v5e); it must be
+    numerically identical to the single-device train_step."""
+    cfg = _cfg()
+    cfg = cfg.replace(render=RenderConfig(num_samples=16, randomized=False))
+    m1 = mesh_mod.make_mesh(1)
+    batch = _batch(jax.random.PRNGKey(1), cfg, 256)
+
+    s_plain = init_state(jax.random.PRNGKey(0), cfg)
+    s_plain, aux_plain = train_step(s_plain, batch, jax.random.PRNGKey(2), cfg)
+
+    s1 = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), m1)
+    step_fn = dp.make_dp_train_step(cfg, m1)
+    s1, aux1 = step_fn(s1, dp.place_batch(batch, m1), jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(
+        float(aux_plain["loss"]), float(aux1["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_plain.params["trunk"][0]["w"]),
+        np.asarray(s1.params["trunk"][0]["w"]),
+        atol=1e-6,
+    )
+
+
 def test_dp_training_converges():
     cfg = _cfg(learning_rate=5e-3)
     m = mesh_mod.make_mesh()
