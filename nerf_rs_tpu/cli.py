@@ -80,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
              "composite only the fine samples (proposal-style fast path)",
     )
     _bool_flag(common, "white_background", False)
+    common.add_argument("--occ_res", type=int, default=0,
+                        help="occupancy-grid resolution for empty-space "
+                             "skipping (0 = off; 64 typical)")
+    common.add_argument("--occ_update_steps", type=int, default=16,
+                        help="grid EMA update cadence")
+    common.add_argument("--occ_threshold", type=float, default=1e-2,
+                        help="raw-sigma occupancy cutoff")
+    common.add_argument("--occ_aabb", type=float, default=1.0,
+                        help="scene AABB half-extent")
     common.add_argument("--accumulation_steps", type=int, default=1)
     common.add_argument(
         "--batch_mode", default="per_ray",
@@ -189,6 +198,10 @@ def config_from_args(args) -> "Config":
             share_network=args.share_network,
             fine_mode=args.fine_mode,
             white_background=args.white_background,
+            occ_res=args.occ_res,
+            occ_update_steps=args.occ_update_steps,
+            occ_threshold=args.occ_threshold,
+            occ_aabb=args.occ_aabb,
         )
     return Config(
         debug=args.debug,

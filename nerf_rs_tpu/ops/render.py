@@ -166,6 +166,7 @@ def render_rays(
     packed=None,
     fine_packed=None,
     field_fn=None,
+    grid: Optional[jnp.ndarray] = None,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
@@ -184,7 +185,16 @@ def render_rays(
     n = flat_o.shape[0]
     k_coarse, k_fine = jax.random.split(key)
 
-    if render_cfg.compat_sampling:
+    if grid is not None and not render_cfg.compat_sampling:
+        # occupancy-guided sampling: the budget concentrates in occupied
+        # grid cells (ops/occupancy.py; empty-space skipping, TPU form)
+        from . import occupancy
+
+        ts = occupancy.occupancy_ts(
+            k_coarse, flat_o, flat_d, grid, render_cfg.num_samples,
+            camera, render_cfg, rand,
+        )
+    elif render_cfg.compat_sampling:
         ts = sampling.compat_ts(k_coarse, n, render_cfg.num_samples, camera.far, rand)
     else:
         ts = sampling.stratified_ts(
@@ -355,9 +365,9 @@ def render_rays(
             )
             if standalone:
                 # proposal-style: the fine pass stands alone on its own
-                # (already PDF-concentrated) samples — no union sort, no
-                # coarse re-evaluation
-                all_ts = jnp.sort(fine_ts, axis=-1)
+                # (already PDF-concentrated, sorted-by-construction)
+                # samples — no union sort, no coarse re-evaluation
+                all_ts = fine_ts
             else:
                 all_ts = sampling.merge_ts(ts, fine_ts)
             fine = run_pass(

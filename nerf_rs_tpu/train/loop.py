@@ -283,6 +283,22 @@ def train(
                 err_store, batch.idx, aux["ray_err"], cfg.train.error_resample_ema
             )
 
+        # --- occupancy-grid EMA update (ops/occupancy.py): periodic,
+        # outside the jitted step; ~one extra step's worth of MLP work
+        # every occ_update_steps ---
+        if state.grid is not None and it % cfg.render.occ_update_steps == 0:
+            from ..ops import occupancy
+            from .step import _matmul_dtype
+
+            g = occupancy.update_grid(
+                state.grid, state.params, jax.random.fold_in(k, 777),
+                cfg.model, cfg.render.occ_aabb, cfg.render.occ_decay,
+                _matmul_dtype(cfg) or jnp.float32,
+            )
+            state = state._replace(
+                grid=jax.device_put(g, mesh_mod.replicated_sharding(mesh))
+            )
+
         # --- per-iter terminal + TB loss (reference main.rs:73-74) ---
         if t_loss is not None:
             loss = float(t_loss)

@@ -1,0 +1,184 @@
+"""Occupancy-grid empty-space skipping (ops/occupancy.py): bin lookup
+geometry, PDF-concentrated sampling, grid EMA updates, and the train
+loop/state integration (grid in TrainState, checkpoint round-trip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_rs_tpu.config import CameraConfig, Config, ModelConfig, RenderConfig, TrainConfig
+from nerf_rs_tpu.models.mlp import init_nerf_params
+from nerf_rs_tpu.ops import occupancy
+
+CAM = CameraConfig(width=32, height=32)  # near=0.05, far=2.0
+MODEL = ModelConfig(net_depth=3, net_width=32, skip_layer=2,
+                    feature_width=32, view_head_width=16,
+                    pos_enc_levels=3, dir_enc_levels=1)
+
+
+def _axis_rays(n):
+    """Rays from the canonical camera straight down +z (through the
+    scene center at the origin)."""
+    o = jnp.zeros((n, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+    return o, d
+
+
+def _center_occupied_grid(res=16, aabb=1.0, radius=0.3):
+    """Occupied sphere of ``radius`` around the origin."""
+    c = jnp.linspace(-aabb, aabb, res, endpoint=False) + aabb / res
+    gx, gy, gz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(gx**2 + gy**2 + gz**2)
+    return (r < radius).astype(jnp.float32)
+
+
+def test_bin_occupancy_geometry():
+    grid = _center_occupied_grid()
+    o, d = _axis_rays(4)
+    mids = jnp.linspace(0.1, 1.9, 32)
+    occ = occupancy._bin_occupancy(o, d, mids, grid, 1.0)
+    # the ray passes through the origin at t=1; bins near t=1 are
+    # occupied (|t-1| < 0.3), the rest empty
+    ts = np.asarray(mids)
+    occ = np.asarray(occ[0])
+    assert (occ[np.abs(ts - 1.0) < 0.25] > 0).all()
+    assert (occ[np.abs(ts - 1.0) > 0.4] == 0).all()
+
+
+def test_bin_occupancy_outside_aabb_is_empty():
+    grid = jnp.ones((8, 8, 8))  # fully occupied grid
+    o = jnp.zeros((2, 3)).at[:, 2].set(-5.0)  # rays entirely outside
+    d = jnp.zeros((2, 3)).at[:, 2].set(-1.0)
+    occ = occupancy._bin_occupancy(o, d, jnp.linspace(0.1, 1.9, 8), grid, 1.0)
+    assert float(jnp.max(occ)) == 0.0
+
+
+def test_occupancy_ts_concentrates_samples():
+    rc = RenderConfig(num_samples=32, occ_res=16, occ_bins=64)
+    grid = _center_occupied_grid()
+    o, d = _axis_rays(64)
+    ts = occupancy.occupancy_ts(jax.random.PRNGKey(0), o, d, grid, 32,
+                                CAM, rc, randomized=True)
+    assert ts.shape == (64, 32)
+    frac_inside = float(jnp.mean(jnp.abs(ts - 1.0) < 0.35))
+    assert frac_inside > 0.9, frac_inside  # budget lands on the sphere
+    # sorted per ray
+    assert bool(jnp.all(jnp.diff(ts, axis=-1) >= 0))
+
+
+def test_fresh_grid_degrades_to_uniform():
+    rc = RenderConfig(num_samples=64, occ_res=8, occ_bins=32)
+    grid = occupancy.init_grid(8)
+    o, d = _axis_rays(128)
+    ts = occupancy.occupancy_ts(jax.random.PRNGKey(1), o, d, grid, 64,
+                                CAM, rc, randomized=True)
+    # near-uniform coverage of [near, far]: mean ~ midpoint, full span
+    assert abs(float(ts.mean()) - (CAM.near + CAM.far) / 2) < 0.1
+    assert float(ts.min()) < 0.2 and float(ts.max()) > 1.8
+
+
+def test_update_grid_marks_density():
+    params = init_nerf_params(jax.random.PRNGKey(0), MODEL)
+    params["sigma"]["b"] = params["sigma"]["b"] + 5.0  # sigma > 0 everywhere
+    grid = occupancy.init_grid(8)
+    g1 = occupancy.update_grid(grid, params, jax.random.PRNGKey(1), MODEL,
+                               1.0, 0.95)
+    assert float(g1.min()) > 0.0
+    # decay: with a now-transparent field the EMA shrinks
+    params["sigma"]["b"] = params["sigma"]["b"] - 50.0
+    g2 = occupancy.update_grid(g1, params, jax.random.PRNGKey(2), MODEL,
+                               1.0, 0.5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1) * 0.5,
+                               rtol=1e-6)
+
+
+def _occ_cfg(**render_kw):
+    return Config(
+        camera=CAM,
+        model=MODEL,
+        render=RenderConfig(num_samples=16, occ_res=8, occ_bins=32,
+                            **render_kw),
+        train=TrainConfig(num_rays=64, precision="f32", learning_rate=1e-2),
+    )
+
+
+def test_train_step_with_grid_descends():
+    from nerf_rs_tpu.data import synthetic
+    from nerf_rs_tpu.ops import rays
+    from nerf_rs_tpu.train.step import Batch, init_state, train_step
+
+    cfg = _occ_cfg()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    assert state.grid is not None and state.grid.shape == (8, 8, 8)
+    img = synthetic.sphere_image(cfg.camera)
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (64, 2)) * 31.0
+    o, d = rays.rays_for_coords(coords, None, cfg.camera)
+    gold = img[coords[:, 1].astype(jnp.int32),
+               coords[:, 0].astype(jnp.int32), :3]
+    batch = Batch(o, d, gold)
+    losses = []
+    for i in range(30):
+        k = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        state, aux = train_step(state, batch, k, cfg)
+        losses.append(float(aux["loss"]))
+        if i % 8 == 0:  # the loop's periodic grid refresh
+            state = state._replace(grid=occupancy.update_grid(
+                state.grid, state.params, k, cfg.model,
+                cfg.render.occ_aabb, cfg.render.occ_decay))
+    assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_checkpoint_roundtrip_with_grid(tmp_path):
+    from nerf_rs_tpu.train import checkpoint as ckpt
+    from nerf_rs_tpu.train.step import init_state
+
+    cfg = _occ_cfg()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    state = state._replace(grid=state.grid + 0.25)
+    path = ckpt.save(state, str(tmp_path))
+    restored = ckpt.restore(path, init_state(jax.random.PRNGKey(1), cfg))
+    np.testing.assert_allclose(np.asarray(restored.grid),
+                               np.asarray(state.grid))
+
+
+def test_whole_ray_grads_with_grid():
+    """The fused-kernel path samples through the grid too (interpret)."""
+    from nerf_rs_tpu.train.step import Batch, init_state, train_step
+
+    cfg = _occ_cfg()
+    cfg = cfg.replace(
+        train=TrainConfig(num_rays=16, precision="mixed",
+                          learning_rate=1e-2, whole_ray_block=8),
+        use_whole_ray_train=True,
+    )
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    state = state._replace(grid=_center_occupied_grid(8, 1.0, 0.4))
+    o, d = _axis_rays(16)
+    batch = Batch(origins=o, dirs=d, gold=jnp.full((16, 3), 0.5))
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1), cfg)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_loop_updates_grid(tmp_path):
+    """train() with occ_res > 0 runs and the final grid is non-zero
+    (the periodic update fired and the sphere has density by then)."""
+    from nerf_rs_tpu.train.loop import train
+
+    import dataclasses
+
+    cfg = _occ_cfg()
+    cfg = cfg.replace(
+        log_dir=str(tmp_path / "logs"),
+        save_dir=str(tmp_path / "ckpt"),
+        eval_on_train=False,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(cfg.render, occ_update_steps=5),
+        train=dataclasses.replace(cfg.train, num_iter=12, num_rays=64,
+                                  logging_steps=1000, save_steps=1000),
+        data=dataclasses.replace(cfg.data, dataset="sphere"),
+    )
+    state = train(cfg)
+    assert state.grid is not None
+    assert state.grid.shape == (8, 8, 8)
