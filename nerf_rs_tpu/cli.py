@@ -167,6 +167,9 @@ def _apply_preset(args):
         args.num_samples = 64
         args.num_fine_samples = 128
         args.white_background = True
+        # fused coarse->resample->fine chain is this config's default:
+        # 24.2 (standalone) / 32.7 (union) vs 43.3 / 64.6 ms XLA on v5e
+        args.use_whole_ray_train = True
     elif p == "pod":
         args.error_resample_frac = max(args.error_resample_frac, 0.5)
     return args
