@@ -172,7 +172,24 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
+def default_render_chunk(render_cfg) -> int:
+    """Render-chunk ray count for a fixed ray-sample memory budget.
+
+    65536 rays is the measured-good point at 64 samples (bench.py);
+    a hierarchical union pass holds (chunk, S_coarse+S_fine, width)
+    activation temps, so the same chunk OOMs a 16 GB HBM at 64+128 —
+    scale rays down as the per-ray sample total grows (standalone fine
+    passes run sequentially, so their peak is the larger pass, not the
+    sum). Power-of-two floored so frame paddings nest.
+    """
+    s, f = render_cfg.num_samples, render_cfg.num_fine_samples
+    s_total = max(s, f) if render_cfg.fine_mode == "standalone" else s + f
+    budget = 65536 * 64  # ray-samples per chunk
+    chunk = max(4096, min(65536, budget // max(s_total, 1)))
+    return 1 << (chunk.bit_length() - 1)
+
+
+def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
     """Sharded full-frame renderer: rays split across chips, frame
     gathered — the <2 s 800x800 novel-view path (BASELINE north star).
 
@@ -183,9 +200,17 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 65536):
     per frame shape instead of a host loop — while bounding the
     (rays, samples, 3) temp blowup (XLA pads the 3-wide minor dim to
     128 lanes; see train/loop.render_frame).
+
+    ``chunk=0`` (default) sizes the chunk to a fixed ray-sample budget:
+    65536 rays is proven at 64 samples (bench.py), but a hierarchical
+    union pass holds (chunk, S_total, width) activation temps, so at
+    64+128 the same chunk OOMs a 16 GB HBM — scale rays down as
+    S_total grows, power-of-two floored.
     """
     camera = camera or cfg.camera
     dtype = step_mod._matmul_dtype(cfg)
+    if chunk <= 0:
+        chunk = default_render_chunk(cfg.render)
 
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
 

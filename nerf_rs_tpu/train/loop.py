@@ -51,7 +51,7 @@ def render_frame(
     mesh,
     render_fn=None,
     key: Optional[jax.Array] = None,
-    chunk: int = 65536,
+    chunk: int = 0,
 ):
     """Full-frame render via the sharded renderer, chunked to bound
     memory: (H, W) rays -> (H, W, 3) rgb, (H, W) depth, (H, W) acc.
@@ -59,8 +59,11 @@ def render_frame(
     chunk bounds HBM: XLA lays (rays, samples, 3) tensors out with the
     3-wide minor dim padded to 128 lanes (a 42x expansion measured via
     memory_analysis), so a 131072-ray chunk at 64 samples costs ~13 GB
-    of temp — 32768 keeps renders of any frame size within a v5e's
-    16 GB alongside the pixel store."""
+    of temp. chunk=0 uses dp.default_render_chunk, which also scales
+    the chunk down for hierarchical sample totals (a 65536-ray union
+    64+128 eval OOM'd a 16 GB chip)."""
+    if chunk <= 0:
+        chunk = dp.default_render_chunk(cfg.render)
     h, w = origins.shape[:2]
     flat_o = origins.reshape(-1, 3)
     flat_d = dirs.reshape(-1, 3)
