@@ -25,3 +25,13 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+
+def pytest_configure(config):
+    # two tiers: `-m "not slow"` is the ~3 min inner-loop tier; the full
+    # suite (~11 min) stays the default and what CI runs
+    config.addinivalue_line(
+        "markers",
+        "slow: >9s on the 8-virtual-device CPU suite (convergence runs, "
+        "subprocess/e2e drives); deselect with -m 'not slow'",
+    )

@@ -3,6 +3,7 @@ transforms.json scene (train + test splits) goes through the CLI train
 loop (white background, held-out eval split auto-pickup) and the eval
 subcommand — the full path the lego configs will take."""
 
+import pytest
 import json
 import math
 import os
@@ -12,6 +13,8 @@ import numpy as np
 from nerf_rs_tpu.cli import main
 from nerf_rs_tpu.data.images import save_png
 
+
+pytestmark = pytest.mark.slow  # e2e/subprocess drives
 
 def _make_scene(root, n_train=3, n_test=2, size=16):
     """Flat white disk on black (view-independent gold) with look-at

@@ -2,12 +2,15 @@
 the file-free sphere dataset (8 virtual CPU devices), checkpoints, and
 the render subcommand produces frames from that checkpoint."""
 
+import pytest
 import os
 
 import numpy as np
 
 from nerf_rs_tpu.cli import build_parser, config_from_args, main
 
+
+pytestmark = pytest.mark.slow  # e2e/subprocess drives
 
 def test_flag_surface_defaults():
     # the reference's 16 flags all parse with its defaults (src/cli.rs:5-66)

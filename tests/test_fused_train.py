@@ -2,6 +2,7 @@
 forward outputs must match jax.grad of the equivalent jnp pipeline.
 Runs in Mosaic interpret mode on CPU."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +49,7 @@ def _jnp_loss(params, o, d, vd, ts, deltas, gold, white_bg):
     return jnp.mean((out.rgb - gold) ** 2), out
 
 
+@pytest.mark.slow
 def test_forward_and_grads_match_autodiff():
     for white_bg in (False, True):
         params = init_nerf_params(jax.random.PRNGKey(0), CFG)
@@ -227,6 +229,7 @@ def test_hierarchical_chain_matches_autodiff():
                                    np.asarray(gr) / scale, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_hierarchical_whole_ray_train_converges():
     """End-to-end: hierarchical train_step through the kernel chain
     descends, for the shared-net and separate-fine-net variants."""
@@ -263,6 +266,7 @@ def test_hierarchical_whole_ray_train_converges():
         assert "loss_fine" in aux
 
 
+@pytest.mark.slow
 def test_whole_ray_dp_step_matches_single_device():
     """The DP wrapper routes through the kernel per shard; the 8-way
     sharded step must track the single-device step numerically."""

@@ -2,6 +2,7 @@
 (interpret mode on CPU; hardware parity + convergence were verified on
 the TPU chip — see kernels/fused_vjp.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def _setup(n=512):
     return params, pts, d, tgt_s, tgt_c
 
 
+@pytest.mark.slow
 def test_fused_vjp_grads_match_autodiff():
     params, pts, dirs, tgt_s, tgt_c = _setup()
     field = make_fused_field_fn(CFG, rows_per_block=256, interpret=True)
@@ -51,6 +53,7 @@ def test_fused_vjp_grads_match_autodiff():
         assert np.abs(a - b).max() / denom < tol, (a.shape, np.abs(a - b).max() / denom)
 
 
+@pytest.mark.slow
 def test_fused_train_step_tracks_autodiff_path():
     """End-to-end: train_step through the fused-VJP pair produces the
     same loss trajectory as the XLA autodiff path (both bf16) — the

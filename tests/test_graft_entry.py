@@ -2,6 +2,7 @@
 runs, dryrun_multichip exercises the full DP step on the virtual CPU
 mesh — exactly what the round driver invokes."""
 
+import pytest
 import sys
 
 sys.path.insert(0, ".")
@@ -9,6 +10,8 @@ sys.path.insert(0, ".")
 import jax
 import numpy as np
 
+
+pytestmark = pytest.mark.slow  # e2e/subprocess drives
 
 def test_entry_forward():
     import __graft_entry__ as ge

@@ -4,6 +4,7 @@ batch_mode=multiview routes reference batch semantics
 async PrefetchPipeline, non-primary processes write nothing, and the
 error-resampling store survives checkpoint/resume."""
 
+import pytest
 import os
 
 import jax
@@ -22,6 +23,8 @@ from nerf_rs_tpu.train import checkpoint as ckpt
 from nerf_rs_tpu.train.loop import train
 from nerf_rs_tpu.train.step import init_state
 
+
+pytestmark = pytest.mark.slow  # e2e/subprocess drives
 
 def _cfg(tmp_path, name, **data_kw):
     return Config(

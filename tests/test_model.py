@@ -1,6 +1,7 @@
 """MLP architecture tests: shapes, param counts, skip connection,
 compat architecture parity with the reference's layer dims."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_viewdir_affects_rgb_not_sigma():
     assert float(jnp.max(jnp.abs(c1 - c2))) > 1e-4
 
 
+@pytest.mark.slow
 def test_mixed_precision_close_to_f32():
     cfg = ModelConfig(net_width=64, net_depth=4, skip_layer=2, feature_width=64, view_head_width=32)
     params = init_nerf_params(jax.random.PRNGKey(3), cfg)

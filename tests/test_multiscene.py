@@ -3,6 +3,7 @@ each scene's trajectory must match an independently-trained
 single-scene run bit-for-bit (same keys), since scene training shares
 nothing."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,8 @@ from nerf_rs_tpu.parallel import mesh as mesh_mod, multiscene
 from nerf_rs_tpu.train import init_state
 from nerf_rs_tpu.train.step import train_step_core
 
+
+pytestmark = pytest.mark.slow  # e2e/subprocess drives
 
 def _cfg():
     return Config(

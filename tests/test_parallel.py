@@ -2,6 +2,7 @@
 DP train step equivalence vs single-device, sharded rendering parity,
 mesh helpers. This is the shard_map/psum coverage SURVEY §4 calls for."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -162,6 +163,7 @@ def test_dp_accumulation_runs():
     assert np.isfinite(float(aux["loss"]))
 
 
+@pytest.mark.slow
 def test_flagship_width_dp_step():
     """The FULL flagship model (8x256+skip, PE 10/4) compiles and runs
     one DP step across all 8 virtual devices — the exact program shape

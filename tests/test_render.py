@@ -2,6 +2,7 @@
 the reference's O(N^2) formulation, white background, and the full
 render_rays pipeline."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +68,7 @@ def test_opaque_wall_depth():
     assert abs(float(out.acc[0]) - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_render_rays_shapes_and_fine():
     cam = CameraConfig()
     mcfg = ModelConfig(net_width=32, net_depth=3, skip_layer=2, feature_width=32, view_head_width=16)
@@ -239,6 +241,7 @@ def test_share_network_trains():
     assert "loss_fine" in aux
 
 
+@pytest.mark.slow
 def test_fine_mode_standalone_shapes_and_finite():
     cfg = ModelConfig(net_depth=2, net_width=16, skip_layer=1,
                       feature_width=16, view_head_width=8,
@@ -258,6 +261,7 @@ def test_fine_mode_standalone_shapes_and_finite():
     assert np.isfinite(float(fine.depth.sum()))
 
 
+@pytest.mark.slow
 def test_fine_mode_standalone_converges_like_union():
     """Proposal-style fine pass must reach comparable quality: fit the
     white-disk scene both ways, compare eval PSNR."""

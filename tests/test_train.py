@@ -4,6 +4,7 @@ src/dataset.rs:141-188) — loss must drop and PSNR rise within a few
 hundred steps. This is the 'minimum end-to-end slice' of SURVEY.md §7
 step 6."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +69,7 @@ def _run_training(cfg, steps=150, seed=0):
     return state, losses
 
 
+@pytest.mark.slow
 def test_training_converges_on_sphere():
     cfg = _tiny_cfg()
     state, losses = _run_training(cfg)
@@ -78,6 +80,7 @@ def test_training_converges_on_sphere():
     assert last < first * 0.5, f"loss did not halve: {first:.4f} -> {last:.4f}"
 
 
+@pytest.mark.slow
 def test_eval_step_psnr_improves():
     cfg = _tiny_cfg()
     key = jax.random.PRNGKey(1)
@@ -89,6 +92,7 @@ def test_eval_step_psnr_improves():
     assert after > before + 3.0, f"PSNR {before:.2f} -> {after:.2f}"
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch_direction():
     """accumulation_steps=4 over the same data produces a finite,
     loss-reducing trajectory (the reference's dead grad-accum capability,
@@ -101,6 +105,7 @@ def test_grad_accumulation_matches_big_batch_direction():
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
 
+@pytest.mark.slow
 def test_hierarchical_training_runs():
     cfg = _tiny_cfg(num_fine_samples=32)
     state, losses = _run_training(cfg, steps=30)
@@ -108,6 +113,7 @@ def test_hierarchical_training_runs():
     assert state.fine_params is not None
 
 
+@pytest.mark.slow
 def test_compat_config_trains():
     """The reference-compat path (8x100 raw-xyz MLP, sigma-grayscale
     compositing, t*far sampling) optimizes without NaNs."""
