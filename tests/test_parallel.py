@@ -44,6 +44,20 @@ def test_mesh_helpers():
     assert mesh_mod.num_shards(m2) == 4
 
 
+def test_default_render_chunk_scales_with_samples():
+    # measured-good point: 64 coarse samples -> 65536 rays
+    assert dp.default_render_chunk(RenderConfig(num_samples=64)) == 65536
+    # union 64+128 holds (chunk, 192, W) temps -> 3x fewer rays, pow2
+    hier = RenderConfig(num_samples=64, num_fine_samples=128)
+    assert dp.default_render_chunk(hier) == 16384
+    # standalone passes run sequentially: peak is max(S, F), not S+F
+    st = RenderConfig(num_samples=64, num_fine_samples=128,
+                      fine_mode="standalone")
+    assert dp.default_render_chunk(st) == 32768
+    # tiny test configs never fall below the floor
+    assert dp.default_render_chunk(RenderConfig(num_samples=8)) == 65536
+
+
 def test_dp_step_runs_and_updates():
     cfg = _cfg()
     m = mesh_mod.make_mesh()
