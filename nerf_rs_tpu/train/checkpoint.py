@@ -76,6 +76,32 @@ def restore(path: str, template: TrainState) -> TrainState:
     return serialization.from_bytes(template, data)
 
 
+def restore_weights(path: str, template: TrainState) -> TrainState:
+    """Load params/fine_params/grid/step but keep the template's
+    optimizer state.
+
+    Eval and render don't optimize, but ``restore`` needs the template's
+    opt_state pytree to match the checkpoint's — which encodes training
+    hyperparameters (an lr SCHEDULE adds a count leaf that a
+    constant-lr template lacks). Weight-only restore decouples
+    inference from how the run was optimized.
+    """
+    with open(path, "rb") as f:
+        sd = serialization.msgpack_restore(f.read())
+
+    def _field(name, tpl):
+        if tpl is None or name not in sd:
+            return tpl
+        return serialization.from_state_dict(tpl, sd[name])
+
+    return template._replace(
+        step=_field("step", template.step),
+        params=_field("params", template.params),
+        fine_params=_field("fine_params", template.fine_params),
+        grid=_field("grid", template.grid),
+    )
+
+
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Most recent checkpoint by (timestamp, step), or None."""
     if not os.path.isdir(save_dir):

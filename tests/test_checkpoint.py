@@ -54,6 +54,35 @@ def test_roundtrip_preserves_everything(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+
+def test_restore_weights_across_optimizer_configs(tmp_path):
+    # a run trained with an lr SCHEDULE has an extra count leaf in its
+    # opt_state; eval/render restore must not care (regression: the
+    # 30k record run's checkpoint was unreadable by `cli eval` until
+    # restore_weights decoupled inference from optimizer hparams)
+    import dataclasses
+
+    cfg = _cfg()
+    cfg_sched = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, lr_decay_steps=100)
+    )
+    key = jax.random.PRNGKey(0)
+    state = init_state(key, cfg_sched)
+    for i in range(2):
+        state, _ = train_step(
+            state, _batch(cfg_sched, jax.random.fold_in(key, i)), key,
+            cfg_sched,
+        )
+    path = ckpt.save(state, str(tmp_path), ts=99)
+
+    fresh = init_state(jax.random.PRNGKey(9), cfg)  # constant-lr template
+    restored = ckpt.restore_weights(path, fresh)
+    assert int(restored.step) == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["trunk"][0]["w"]),
+        np.asarray(state.params["trunk"][0]["w"]),
+    )
+
     # training continues identically from restored vs original
     nb = _batch(cfg, jax.random.fold_in(key, 50))
     s1, a1 = train_step(state, nb, key, cfg)
