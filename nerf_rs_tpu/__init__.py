@@ -13,6 +13,7 @@ from .config import (
     Config,
     DataConfig,
     ModelConfig,
+    ProposalConfig,
     RenderConfig,
     TrainConfig,
     reference_compat_config,
@@ -25,6 +26,7 @@ __all__ = [
     "Config",
     "DataConfig",
     "ModelConfig",
+    "ProposalConfig",
     "RenderConfig",
     "TrainConfig",
     "reference_compat_config",

@@ -89,6 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="raw-sigma occupancy cutoff")
     common.add_argument("--occ_aabb", type=float, default=1.0,
                         help="scene AABB half-extent")
+    _bool_flag(common, "use_proposal", False,
+               "proposal-network sampling (mip-NeRF 360 lineage): a tiny "
+               "density MLP picks the main network's samples; trained "
+               "with the interlevel bound loss (requires "
+               "num_fine_samples=0)")
+    common.add_argument("--proposal_samples", type=int, default=64,
+                        help="uniform samples the proposal MLP evaluates")
+    common.add_argument("--proposal_depth", type=int, default=4)
+    common.add_argument("--proposal_width", type=int, default=64)
     common.add_argument("--accumulation_steps", type=int, default=1)
     common.add_argument(
         "--batch_mode", default="per_ray",
@@ -183,6 +192,7 @@ def config_from_args(args) -> "Config":
         DataConfig,
         ModelConfig,
         RenderConfig,
+        ProposalConfig,
         TrainConfig,
         reference_compat_config,
     )
@@ -248,6 +258,12 @@ def config_from_args(args) -> "Config":
             prefetch=args.prefetch,
             use_native_loader=args.use_native_loader,
         ),
+        proposal=ProposalConfig(
+            enabled=args.use_proposal,
+            num_samples=args.proposal_samples,
+            net_depth=args.proposal_depth,
+            net_width=args.proposal_width,
+        ),
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,
         use_fused_train=args.use_fused_train,
@@ -283,7 +299,9 @@ def cmd_render(args) -> int:
     state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
     if load_path:
-        state = ckpt.restore(load_path, state)
+        # weight-only: inference must not depend on the training run's
+        # optimizer hyperparameters (schedule changes the opt pytree)
+        state = ckpt.restore_weights(load_path, state)
         print(f"loaded {load_path} (step {int(state.step)})")
     else:
         print("warning: no checkpoint found; rendering an untrained field")
@@ -366,7 +384,7 @@ def cmd_eval(args) -> int:
     if not load_path:
         print("error: no checkpoint found (use --load_path or --save_dir)")
         return 1
-    state = ckpt.restore(load_path, state)
+    state = ckpt.restore_weights(load_path, state)
     print(f"loaded {load_path} (step {int(state.step)})")
     state = dp.place_state(state, mesh)
     render_fn = dp.make_dp_render(cfg, mesh)

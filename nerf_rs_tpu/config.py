@@ -111,6 +111,27 @@ class RenderConfig:
 
 
 @dataclass(frozen=True)
+class ProposalConfig:
+    """Proposal-network sampling (mip-NeRF 360 lineage; ops/proposal.py).
+
+    When enabled, a tiny density-only MLP replaces the expensive main-
+    network coarse pass: uniform ``num_samples`` -> proposal weights ->
+    inverse-CDF resample -> the main MLP evaluates ONLY
+    RenderConfig.num_samples guided points. The proposal trains against
+    the main network's weight histogram (interlevel bound loss), not a
+    photometric loss. Requires num_fine_samples == 0 (it IS the
+    hierarchy) and a non-compat model.
+    """
+
+    enabled: bool = False
+    num_samples: int = 64  # uniform samples the proposal evaluates
+    net_depth: int = 4
+    net_width: int = 64
+    pos_enc_levels: int = 10
+    loss_mult: float = 1.0  # interlevel loss weight
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Optimization + bookkeeping. Flag surface mirrors src/cli.rs:5-66."""
 
@@ -181,6 +202,7 @@ class Config:
     render: RenderConfig = field(default_factory=RenderConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
+    proposal: ProposalConfig = field(default_factory=ProposalConfig)
     # Parallelism: number of data-parallel shards; 0 = all local devices.
     num_devices: int = 0
     # Render via the fused Pallas kernel. Off by default: measured
@@ -221,6 +243,7 @@ class Config:
             render=RenderConfig(**d.get("render", {})),
             train=TrainConfig(**d.get("train", {})),
             data=DataConfig(**d.get("data", {})),
+            proposal=ProposalConfig(**d.get("proposal", {})),
             **kw,
         )
 

@@ -167,6 +167,8 @@ def render_rays(
     fine_packed=None,
     field_fn=None,
     grid: Optional[jnp.ndarray] = None,
+    prop_params: Optional[Params] = None,
+    prop_cfg=None,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
@@ -176,6 +178,11 @@ def render_rays(
 
     use_fused routes the field evaluation through the fused Pallas
     kernel (kernels/fused_render.py) — inference only (no VJP).
+
+    prop_params/prop_cfg (ops/proposal.py): the main pass's
+    num_samples points are proposal-guided instead of uniform; the
+    interlevel training loss lives in train/step.py — here the proposal
+    only picks where to sample.
     """
     use_fused = use_fused and fused_supported(model_cfg)
     rand = render_cfg.randomized if randomized is None else randomized
@@ -185,7 +192,14 @@ def render_rays(
     n = flat_o.shape[0]
     k_coarse, k_fine = jax.random.split(key)
 
-    if grid is not None and not render_cfg.compat_sampling:
+    if prop_params is not None and not render_cfg.compat_sampling:
+        from . import proposal as prop_ops
+
+        ts, _, _ = prop_ops.proposal_resample(
+            k_coarse, flat_o, flat_d, prop_params, prop_cfg,
+            render_cfg.num_samples, camera, rand, dtype,
+        )
+    elif grid is not None and not render_cfg.compat_sampling:
         # occupancy-guided sampling: the budget concentrates in occupied
         # grid cells (ops/occupancy.py; empty-space skipping, TPU form)
         from . import occupancy

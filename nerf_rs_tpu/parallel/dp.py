@@ -117,6 +117,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     }
     if cfg.render.num_fine_samples > 0:
         aux_spec["loss_fine"] = P()
+    if cfg.proposal.enabled:
+        aux_spec["loss_prop"] = P()
 
     if dataset is not None:
         def _step_sampling(state: TrainState, images, pose_data,
@@ -215,12 +217,18 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
 
     def _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked):
+        prop_params = None
+        if cfg.proposal.enabled:
+            # the second-net slot carries the proposal MLP (see
+            # TrainState.fine_params) — route it to the sampler
+            prop_params, fine_params = fine_params, None
         if cfg.render.share_network:
             fine_params = None  # triggers the shared fast fine pass
         coarse, fine = render.render_rays(
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,
             use_fused=use_fused, packed=packed, fine_packed=fpacked,
+            prop_params=prop_params, prop_cfg=cfg.proposal,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc

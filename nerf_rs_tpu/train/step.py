@@ -27,6 +27,9 @@ from ..ops import render
 class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
     params: Params
+    # the second trainable network: the separate fine MLP (hierarchical
+    # paper scheme), or the tiny proposal MLP when cfg.proposal.enabled
+    # (models/proposal.py) — the two are mutually exclusive by config.
     fine_params: Optional[Params]
     opt_state: Any
     # occupancy grid (ops/occupancy.py) when cfg.render.occ_res > 0:
@@ -67,10 +70,30 @@ def _has_fine_net(cfg: Config) -> bool:
     return cfg.render.num_fine_samples > 0 and not cfg.render.share_network
 
 
+def _has_prop(cfg: Config) -> bool:
+    return cfg.proposal.enabled
+
+
+def _two_nets(cfg: Config) -> bool:
+    """TrainState.fine_params is populated (fine MLP or proposal MLP)."""
+    return _has_fine_net(cfg) or _has_prop(cfg)
+
+
 def init_state(key: jax.Array, cfg: Config) -> TrainState:
     kc, kf = jax.random.split(key)
     params = init_nerf_params(kc, cfg.model)
-    fine_params = init_nerf_params(kf, cfg.model) if _has_fine_net(cfg) else None
+    if _has_prop(cfg):
+        assert cfg.render.num_fine_samples == 0, (
+            "proposal sampling IS the hierarchy; set num_fine_samples=0"
+        )
+        assert not cfg.model.compat, "proposal needs the paper model"
+        from ..models.proposal import init_proposal_params
+
+        fine_params = init_proposal_params(kf, cfg.proposal)
+    else:
+        fine_params = (
+            init_nerf_params(kf, cfg.model) if _has_fine_net(cfg) else None
+        )
     opt = make_optimizer(cfg)
     trainable = (params, fine_params) if fine_params is not None else params
     opt_state = opt.init(trainable)
@@ -99,7 +122,11 @@ def loss_fn(
     grid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """MSE of composited colors vs gold pixels; with hierarchical
-    sampling, coarse and fine losses are summed (paper eq. 6)."""
+    sampling, coarse and fine losses are summed (paper eq. 6); with
+    proposal sampling, photometric + interlevel (_proposal_loss)."""
+    if _has_prop(cfg):
+        params, prop_params = trainable
+        return _proposal_loss(params, prop_params, batch, key, cfg)
     if _has_fine_net(cfg):
         params, fine_params = trainable
     else:
@@ -148,11 +175,120 @@ def loss_fn(
     return loss, aux
 
 
+def _proposal_loss(
+    params: Params,
+    prop_params: Params,
+    batch: Batch,
+    key: jax.Array,
+    cfg: Config,
+    main_weights_fn=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Photometric loss on proposal-guided samples + interlevel bound
+    loss training the proposal (ops/proposal.py; mip-NeRF 360 scheme).
+
+    ``main_weights_fn(ts) -> (rgb, weights)`` overrides the main pass —
+    the fused whole-ray path injects its kernel here; default is the
+    plain XLA field + composite."""
+    from ..ops import proposal as prop_ops, sampling
+
+    dtype = _matmul_dtype(cfg)
+    km, kn = jax.random.split(jax.random.fold_in(key, 11))
+    ts_m, bins_p, w_p = prop_ops.proposal_resample(
+        key, batch.origins, batch.dirs, prop_params, cfg.proposal,
+        cfg.render.num_samples, cfg.camera, cfg.render.randomized, dtype,
+    )
+    gold_rgb = batch.gold[..., :3]
+    if main_weights_fn is None:
+        from ..models.mlp import apply_nerf
+
+        pts = sampling.points_from_ts(batch.origins, batch.dirs, ts_m)
+        vd = batch.dirs / jnp.linalg.norm(
+            batch.dirs, axis=-1, keepdims=True
+        )
+        noise_std = cfg.render.raw_noise_std if cfg.render.randomized else 0.0
+        sigma, rgb = apply_nerf(
+            params, pts, vd[..., None, :], cfg.model, dtype,
+            noise_std=noise_std, noise_key=kn,
+        )
+        out = render.composite(
+            sigma, rgb[..., :3], sampling.deltas_from_ts(ts_m, cfg.camera.far),
+            white_background=cfg.render.white_background, ts=ts_m,
+        )
+        rgb_m, w_m = out.rgb, out.weights
+    else:
+        rgb_m, w_m = main_weights_fn(ts_m)
+    loss_photo = render.mse(rgb_m[..., :3], gold_rgb)
+    loss_il = prop_ops.interlevel_loss(
+        prop_ops.edges_from_ts(ts_m), w_m, bins_p, w_p
+    )
+    loss = loss_photo + cfg.proposal.loss_mult * loss_il
+    aux = {
+        "loss": loss,
+        "loss_coarse": loss_photo,
+        "loss_prop": loss_il,
+        "psnr": render.psnr_from_mse(loss_photo),
+        "ray_err": jax.lax.stop_gradient(
+            jnp.mean((rgb_m[..., :3] - gold_rgb) ** 2, axis=-1)
+        ),
+    }
+    return loss, aux
+
+
+def _whole_ray_proposal_grads(
+    trainable, batch: Batch, key: jax.Array, cfg: Config
+) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+    """Proposal-guided training through the fused kernel: tiny proposal
+    MLP in XLA picks the samples, ONE kernel launch computes the main
+    network's gradients on them, and the proposal's gradients come from
+    the interlevel loss alone (vjp through its forward — the kernel's
+    weights are values, exactly the stop-grad mip-NeRF 360 wants)."""
+    from ..ops import proposal as prop_ops, render as render_ops, sampling
+
+    params, prop_params = trainable
+    dtype = _matmul_dtype(cfg)
+    kp, km = jax.random.split(key)
+    n = batch.origins.shape[0]
+    ts_p = sampling.stratified_ts(
+        kp, n, cfg.proposal.num_samples, cfg.camera.near, cfg.camera.far,
+        cfg.render.randomized,
+    )
+    (w_p, bins_p), prop_vjp = jax.vjp(
+        lambda pp: prop_ops.proposal_weights(
+            pp, batch.origins, batch.dirs, ts_p, cfg.proposal,
+            cfg.camera.far, dtype,
+        ),
+        prop_params,
+    )
+    ts_m = sampling.sample_pdf(
+        km, bins_p, jax.lax.stop_gradient(w_p), cfg.render.num_samples,
+        cfg.render.randomized,
+    )
+    vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
+    grads_m, tg = _whole_ray_pass(params, batch, vd, ts_m, cfg)
+    loss_photo = jnp.mean(tg.diag[:, 4])
+
+    main_edges = prop_ops.edges_from_ts(ts_m)
+    loss_il, dw_p = jax.value_and_grad(
+        lambda w: prop_ops.interlevel_loss(main_edges, tg.weights, bins_p, w)
+    )(w_p)
+    (grads_p,) = prop_vjp((cfg.proposal.loss_mult * dw_p,
+                           jnp.zeros_like(bins_p)))
+    aux = {
+        "loss": loss_photo + cfg.proposal.loss_mult * loss_il,
+        "loss_coarse": loss_photo,
+        "loss_prop": loss_il,
+        "psnr": render_ops.psnr_from_mse(loss_photo),
+        "ray_err": jax.lax.stop_gradient(tg.diag[:, 4]),
+    }
+    return (grads_m, grads_p), aux
+
+
 def whole_ray_supported(cfg: Config) -> bool:
     """The fused whole-ray train kernel covers the paper-architecture
     configs, coarse-only AND hierarchical (as a coarse-kernel -> XLA
-    PDF-resample -> fine-kernel chain). Compat and sigma-noise configs
-    fall back to XLA autodiff."""
+    PDF-resample -> fine-kernel chain), including proposal-guided
+    sampling (proposal in XLA, main pass in-kernel). Compat and
+    sigma-noise configs fall back to XLA autodiff."""
     from ..ops.render import fused_supported
 
     return (
@@ -212,6 +348,9 @@ def whole_ray_grads(
     fine MLP, ``(params, fine_params)`` — matching loss_fn's contract.
     """
     from ..ops import render as render_ops, sampling
+
+    if _has_prop(cfg):
+        return _whole_ray_proposal_grads(trainable, batch, key, cfg)
 
     if _has_fine_net(cfg):
         params, fine_params = trainable
@@ -282,13 +421,13 @@ def whole_ray_grads(
 
 
 def _trainable(state: TrainState, cfg: Config):
-    if _has_fine_net(cfg):
+    if _two_nets(cfg):
         return (state.params, state.fine_params)
     return state.params
 
 
 def _untrainable(trainable, cfg: Config):
-    if _has_fine_net(cfg):
+    if _two_nets(cfg):
         return trainable
     return (trainable, None)
 
@@ -362,7 +501,7 @@ def eval_step(
     state: TrainState, batch: Batch, key: jax.Array, cfg: Config
 ) -> Dict[str, jnp.ndarray]:
     """Deterministic (midpoint-sampled) evaluation pass."""
-    trainable = _trainable(state, cfg)
+    prop = _has_prop(cfg)
     coarse, fine = render.render_rays(
         state.params,
         batch.origins,
@@ -371,9 +510,11 @@ def eval_step(
         cfg.model,
         cfg.render,
         cfg.camera,
-        fine_params=state.fine_params,
+        fine_params=None if prop else state.fine_params,
         randomized=False,
         dtype=_matmul_dtype(cfg),
+        prop_params=state.fine_params if prop else None,
+        prop_cfg=cfg.proposal,
     )
     out = fine if fine is not None else coarse
     m = render.mse(out.rgb[..., :3], batch.gold[..., :3])
