@@ -91,6 +91,32 @@ def main():
     steps_per_sec = iters / dt
     samples_per_sec_per_chip = steps_per_sec * num_rays * num_samples / nchips
 
+    # secondary: hierarchical BASELINE config 3 (64+128 union, white bg)
+    # through the fused coarse->resample->fine chain
+    hcfg = Config(
+        camera=cfg.camera,
+        render=RenderConfig(num_samples=64, num_fine_samples=128,
+                            share_network=True, white_background=True),
+        train=cfg.train,
+        use_whole_ray_train=True,
+    )
+    hstate = dp.place_state(init_state(key, hcfg), mesh)
+    hstep = dp.make_dp_train_step(hcfg, mesh, dataset=ds)
+    for i in range(3):
+        hstate, haux = hstep(hstate, ds.images, ds.pose_data,
+                             jax.random.fold_in(key, 9000 + i))
+    float(jax.device_get(haux["loss"]))
+    hwin, hbase = [], 9003
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(hbase, hbase + 50):
+            hstate, haux = hstep(hstate, ds.images, ds.pose_data,
+                                 jax.random.fold_in(key, i))
+        float(jax.device_get(haux["loss"]))
+        hwin.append((time.perf_counter() - t0) / 50)
+        hbase += 50
+    hier_ms = 1000.0 * min(hwin)
+
     # secondary: 800x800 novel-view render (coarse-only flagship)
     rcam = CameraConfig(width=800, height=800)
     pose = rays_ops.pose_from_yaw_pitch(jnp.float32(0.3), jnp.float32(0.2))
@@ -122,6 +148,7 @@ def main():
             "num_chips": nchips,
             "render_800x800_s": round(render_s, 3),
             "render_windows_s": [round(w, 3) for w in render_windows],
+            "hier_64_128_step_ms": round(hier_ms, 2),
             "device": str(jax.devices()[0].device_kind),
         },
     }))
