@@ -133,11 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(common, "debug_nans", False, "enable jax_debug_nans")
     common.add_argument(
         "--preset", default="",
-        choices=["", "tiny", "full", "hierarchical", "pod"],
+        choices=["", "tiny", "full", "hierarchical", "proposal", "pod"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
-             "(config 3); pod = DP + highest-error resampling (config 5)",
+             "(config 3); proposal = tiny-proposal-guided 128 samples "
+             "(recommended time-to-quality config, docs/PERFORMANCE.md); "
+             "pod = DP + highest-error resampling (config 5)",
     )
 
     sub.add_parser("train", parents=[common])
@@ -178,6 +180,14 @@ def _apply_preset(args):
         args.white_background = True
         # fused coarse->resample->fine chain is this config's default:
         # 24.2 (standalone) / 32.7 (union) vs 43.3 / 64.6 ms XLA on v5e
+        args.use_whole_ray_train = True
+    elif p == "proposal":
+        # measured best time-to-quality (docs/PERFORMANCE.md): tiny
+        # proposal picks 128 main samples, fused kernel main pass
+        args.num_samples = 128
+        args.num_fine_samples = 0
+        args.use_proposal = True
+        args.proposal_samples = 64
         args.use_whole_ray_train = True
     elif p == "pod":
         args.error_resample_frac = max(args.error_resample_frac, 0.5)
