@@ -156,8 +156,11 @@ class TrainConfig:
     profile_steps: int = 0
     profile_start: int = 10
     # rays per grid step of the fused whole-ray train kernel
-    # (use_whole_ray_train); num_rays must divide by it.
-    whole_ray_block: int = 64
+    # (use_whole_ray_train); num_rays must divide by it. Swept on v5e at
+    # S=64: R=32 9.23 / R=64 8.61 / R=128 8.27 ms, R=256 exceeds VMEM
+    # (hierarchical/proposal passes rescale rows-per-block by S, so this
+    # sets the R*S operating point, not a hard ray count).
+    whole_ray_block: int = 128
 
 
 @dataclass(frozen=True)
