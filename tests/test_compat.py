@@ -95,3 +95,27 @@ def test_compat_rgba_head_dims_and_discard():
     params2["head2"]["w"] = np.zeros_like(params2["head2"]["w"])
     rgb2, _ = compat_predict(params2, pts, ts, cfg.model, far=2.0)
     np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=0)
+
+
+def test_compat_radiance_head_gets_zero_gradients():
+    """Training through the compat path must leave the radiance head
+    untouched: its output is computed then discarded (src/model.rs:178),
+    so — like the reference's autograd — the head receives exactly zero
+    gradient while still existing in the checkpointed VarStore."""
+    from nerf_rs_tpu.train.step import Batch, init_state, loss_fn
+
+    cfg = reference_compat_config()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    n = 16
+    k = jax.random.PRNGKey(3)
+    o = (jax.random.normal(k, (n, 3)) * 0.1).at[:, 2].add(-1.0)
+    d = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+    batch = Batch(origins=o, dirs=d, gold=jax.random.uniform(k, (n, 3)))
+    (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, batch, k, cfg
+    )
+    for head in ("head1", "head2"):
+        for leaf in jax.tree_util.tree_leaves(grads[head]):
+            assert float(jnp.abs(leaf).max()) == 0.0, head
+    # and the trunk does train
+    assert float(jnp.abs(grads["trunk"][0]["w"]).max()) > 0.0
