@@ -108,6 +108,10 @@ class RenderConfig:
     occ_decay: float = 0.95  # per-update EMA decay (NerfAcc default)
     occ_threshold: float = 1e-2  # raw-sigma occupancy cutoff
     occ_aabb: float = 1.0  # scene AABB half-extent, [-a, a]^3
+    # uniform-sampling floor blended into the occupancy PDF: keeps
+    # empty bins supervised so floaters can't grow unchecked (measured
+    # -7 dB on sparse scenes without it; ops/occupancy.occupancy_ts)
+    occ_uniform_frac: float = 0.25
 
 
 @dataclass(frozen=True)

@@ -116,18 +116,30 @@ def occupancy_ts(
     """Occupancy-guided sample distances: (N, num_samples), sorted.
 
     Uniform [near, far] bins are weighted by grid occupancy at their
-    midpoints (empty bins get eps weight) and the sample budget is drawn
-    by inverse-CDF from that per-ray PDF — sampling.sample_pdf, the same
-    machinery as hierarchical fine sampling. With an all-empty (fresh)
-    grid this reduces to uniform stratified sampling.
+    midpoints and the sample budget is drawn by inverse-CDF from that
+    per-ray PDF — sampling.sample_pdf, the same machinery as
+    hierarchical fine sampling. With an all-empty (fresh) grid this
+    reduces to uniform stratified sampling.
+
+    A uniform floor (``occ_uniform_frac`` of each ray's probability
+    mass) is ALWAYS blended in. Without it, rays that hit the object
+    never sample their empty bins again, the field is unsupervised
+    there, and floaters grow unchecked — measured on the sparse
+    lego-class scene: pure binary weights lose 7 dB (val PSNR 18.6 vs
+    25.8 uniform at 1000 iters) while the blend recovers it. NerfAcc
+    avoids this by also SKIPPING those bins at render; with a
+    redistribution scheme the floor is the consistency mechanism.
     """
     n = origins.shape[0]
     B = render_cfg.occ_bins
     bins_1d = jnp.linspace(camera.near, camera.far, B + 1)
     mids = 0.5 * (bins_1d[1:] + bins_1d[:-1])
     occ = _bin_occupancy(origins, dirs, mids, grid, render_cfg.occ_aabb)
-    w = (occ > render_cfg.occ_threshold).astype(jnp.float32)
+    hard = (occ > render_cfg.occ_threshold).astype(jnp.float32)
+    # per-ray normalized blend: (1-a) on occupied bins, a uniform
+    a = render_cfg.occ_uniform_frac
+    occ_mass = hard / jnp.maximum(jnp.sum(hard, axis=-1, keepdims=True), 1.0)
+    w = (1.0 - a) * occ_mass + a / B
     bins = jnp.broadcast_to(bins_1d, (n, B + 1))
-    # sample_pdf's eps floor keeps empty rays (and fresh grids) uniform;
-    # its stratified-CDF draws come back sorted by construction
+    # sample_pdf's stratified-CDF draws come back sorted by construction
     return sampling.sample_pdf(key, bins, w, num_samples, randomized)
