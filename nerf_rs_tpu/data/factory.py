@@ -18,12 +18,40 @@ from . import blender, images, synthetic
 from .device_dataset import DeviceDataset
 
 
-def make_dataset(cfg: Config, split: str = "train", sharding=None) -> DeviceDataset:
+def make_dataset(
+    cfg: Config,
+    split: str = "train",
+    sharding=None,
+    process_shard=None,
+) -> DeviceDataset:
+    """Build the on-device dataset for ``cfg``.
+
+    ``process_shard=(index, count)`` keeps only views
+    ``[index::count]`` — multi-host pixel-store sharding (SURVEY §5.8
+    rebuild plan): each host process loads and stores a disjoint view
+    subset, so pod-scale pixel stores split across host RAM/HBM instead
+    of replicating. Per-ray batches draw (view, x, y) iid, so each
+    process sampling its local slice is statistically the same as every
+    process sampling the union.
+    """
+
+    def _slice(*arrays):
+        if process_shard is None:
+            return arrays
+        idx, count = process_shard
+        assert 0 <= idx < count, (idx, count)
+        out = tuple(a[idx::count] for a in arrays)
+        assert out[0].shape[0] > 0, (
+            f"process {idx}/{count} got no views — fewer views than hosts"
+        )
+        return out
+
     d = cfg.data
     if d.dataset in ("sphere", "flat_sphere"):
         n_views = 2 * d.num_views_per_hemisphere * (d.num_views_per_hemisphere + 1)
         imgs = np.asarray(synthetic.sphere_scene_images(cfg.camera, n_views))
         angles = np.asarray(rays_ops.view_angle_grid(d.num_views_per_hemisphere))
+        imgs, angles = _slice(imgs, angles)
         return DeviceDataset(
             imgs, cfg.camera, angles=angles,
             white_background=cfg.render.white_background, sharding=sharding,
@@ -40,6 +68,7 @@ def make_dataset(cfg: Config, split: str = "train", sharding=None) -> DeviceData
             rays_ops.view_angle_grid(d.num_views_per_hemisphere)
         )[d.view_start : d.view_end : d.view_step]
         assert angles.shape[0] == imgs.shape[0]
+        imgs, angles = _slice(imgs, angles)
         return DeviceDataset(
             imgs, cfg.camera, angles=angles,
             white_background=cfg.render.white_background, sharding=sharding,
@@ -55,8 +84,9 @@ def make_dataset(cfg: Config, split: str = "train", sharding=None) -> DeviceData
             far=cam.far,
             focal=float(scene.focal),
         )
+        imgs, c2w = _slice(scene.images, scene.c2w)
         return DeviceDataset(
-            scene.images, camera, c2w=scene.c2w,
+            imgs, camera, c2w=c2w,
             white_background=cfg.render.white_background, sharding=sharding,
         )
     raise ValueError(f"unknown dataset: {d.dataset}")

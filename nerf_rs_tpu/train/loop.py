@@ -167,7 +167,15 @@ def train(
     mesh = mesh_mod.make_mesh(cfg.num_devices)
     nchips = mesh_mod.num_shards(mesh)
     if dataset is None:
-        dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
+        # multi-host: each process stores a disjoint view slice of the
+        # pixel store (per-ray batches sample iid, so local-slice
+        # sampling == union sampling; see data/factory.make_dataset)
+        nproc = jax.process_count()
+        shard = (jax.process_index(), nproc) if nproc > 1 else None
+        dataset = make_dataset(
+            cfg, sharding=mesh_mod.replicated_sharding(mesh),
+            process_shard=shard,
+        )
     if eval_dataset is None and cfg.data.dataset == "blender":
         # held-out split for the PSNR of record (BASELINE: test PSNR)
         try:

@@ -192,7 +192,7 @@ def _proposal_loss(
     from ..ops import proposal as prop_ops, sampling
 
     dtype = _matmul_dtype(cfg)
-    km, kn = jax.random.split(jax.random.fold_in(key, 11))
+    kn = jax.random.fold_in(key, 11)
     ts_m, bins_p, w_p = prop_ops.proposal_resample(
         key, batch.origins, batch.dirs, prop_params, cfg.proposal,
         cfg.render.num_samples, cfg.camera, cfg.render.randomized, dtype,

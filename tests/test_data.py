@@ -131,3 +131,32 @@ def test_prefetch_pipeline():
         assert not np.allclose(np.asarray(b1.gold), np.asarray(b2.gold))
     # closed cleanly
     assert pipe._stop.is_set()
+
+
+def test_make_dataset_process_shard_partitions_views():
+    """Multi-host pixel-store sharding (SURVEY §5.8 plan): each process
+    slice is disjoint, nonempty, and the slices union to the full view
+    set with their matching poses."""
+    import dataclasses
+
+    from nerf_rs_tpu.config import CameraConfig, Config
+    from nerf_rs_tpu.data.factory import make_dataset
+
+    cfg = Config(camera=CameraConfig(width=16, height=16))
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset="sphere")
+    )
+    full = make_dataset(cfg)
+    parts = [make_dataset(cfg, process_shard=(i, 3)) for i in range(3)]
+    n = full.images.shape[0]
+    assert sum(p.images.shape[0] for p in parts) == n
+    got = np.concatenate(
+        [np.asarray(p.pose_data) for p in parts], axis=0
+    )
+    want = np.asarray(full.pose_data)
+    # interleaved slices cover every pose exactly once
+    assert sorted(map(tuple, got.tolist())) == sorted(map(tuple, want.tolist()))
+    # images stay aligned with their poses per shard
+    np.testing.assert_array_equal(
+        np.asarray(parts[1].images[0]), np.asarray(full.images[1])
+    )
