@@ -216,7 +216,14 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
 
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
 
-    def _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked):
+    # occupancy grids guide RENDER sampling too: a field trained at 32
+    # grid-guided samples measured 45.2 dB rendered grid-guided-192 vs
+    # 26.7 at uniform-32 — the surfaces are razor-thin, uniform render
+    # sampling misses them regardless of field quality
+    use_grid = cfg.render.occ_res > 0
+
+    def _render_chunk(params, fine_params, grid, origins, dirs, key,
+                      packed, fpacked):
         prop_params = None
         if cfg.proposal.enabled:
             # the second-net slot carries the proposal MLP (see
@@ -228,14 +235,14 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
             params, origins, dirs, key, cfg.model, cfg.render, camera,
             fine_params=fine_params, randomized=False, dtype=dtype,
             use_fused=use_fused, packed=packed, fine_packed=fpacked,
-            prop_params=prop_params, prop_cfg=cfg.proposal,
+            prop_params=prop_params, prop_cfg=cfg.proposal, grid=grid,
         )
         out = fine if fine is not None else coarse
         return out.rgb, out.depth, out.acc
 
     single = num_shards(mesh) == 1
 
-    def _render(params, fine_params, origins, dirs, key):
+    def _render(params, fine_params, grid, origins, dirs, key):
         shard = 0 if single else jax.lax.axis_index(DATA_AXIS)
         key = jax.random.fold_in(key, shard)
         # pack the kernel weights ONCE per frame, outside the chunk loop
@@ -247,24 +254,29 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
             fpacked = pack_weights(fine_params, cfg.model)
         n = origins.shape[0]
         if n <= chunk:
-            return _render_chunk(params, fine_params, origins, dirs, key, packed, fpacked)
+            return _render_chunk(params, fine_params, grid, origins, dirs,
+                                 key, packed, fpacked)
         assert n % chunk == 0, (n, chunk)
         oc = origins.reshape(-1, chunk, 3)
         dc = dirs.reshape(-1, chunk, 3)
         rgb, depth, acc = jax.lax.map(
             lambda od: _render_chunk(
-                params, fine_params, od[0], od[1], key, packed, fpacked
+                params, fine_params, grid, od[0], od[1], key, packed, fpacked
             ),
             (oc, dc),
         )
         return rgb.reshape(n, 3), depth.reshape(n), acc.reshape(n)
 
+    def _without_grid(params, fine_params, origins, dirs, key):
+        return _render(params, fine_params, None, origins, dirs, key)
+
     if single:
-        return jax.jit(_render)
+        return jax.jit(_render if use_grid else _without_grid)
+    grid_spec = (P(),) if use_grid else ()
     sharded = jax.shard_map(
-        _render,
+        _render if use_grid else _without_grid,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        in_specs=(P(), P(), *grid_spec, P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )

@@ -79,9 +79,11 @@ def render_frame(
     if npad != n:
         flat_o = jnp.concatenate([flat_o, jnp.zeros((npad - n, 3), flat_o.dtype)])
         flat_d = jnp.concatenate([flat_d, jnp.ones((npad - n, 3), flat_d.dtype)])
-    rgb, depth, acc = render_fn(
-        state.params, state.fine_params or state.params, flat_o, flat_d, key
-    )
+    args = [state.params, state.fine_params or state.params]
+    if cfg.render.occ_res > 0:
+        # grid-guided render sampling (see dp.make_dp_render)
+        args.append(state.grid)
+    rgb, depth, acc = render_fn(*args, flat_o, flat_d, key)
     return (
         rgb[:n].reshape(h, w, 3),
         depth[:n].reshape(h, w),

@@ -189,3 +189,39 @@ def test_loop_updates_grid(tmp_path):
     state = train(cfg)
     assert state.grid is not None
     assert state.grid.shape == (8, 8, 8)
+
+
+def test_grid_guided_render_matches_direct():
+    """make_dp_render threads the grid through shard_map; output must
+    equal a direct render_rays(grid=...) call (grid-guided RENDER
+    sampling: a 32-sample-trained field measured 45.2 dB grid-guided vs
+    26.7 uniform — the thin surfaces need guided samples at eval too)."""
+    from nerf_rs_tpu.ops import rays, render
+    from nerf_rs_tpu.parallel import dp, mesh as mesh_mod
+    from nerf_rs_tpu.train.step import init_state
+
+    cfg = _occ_cfg(randomized=False)
+    m = mesh_mod.make_mesh()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    grid = _center_occupied_grid(res=8)
+    o, d = rays.ray_grid(None, cfg.camera)
+    flat_o, flat_d = o.reshape(-1, 3), d.reshape(-1, 3)
+    k = jax.random.PRNGKey(3)
+
+    render_fn = dp.make_dp_render(cfg, m)
+    rgb_s, depth_s, acc_s = render_fn(
+        state.params, state.params, grid, flat_o, flat_d, k
+    )
+    coarse, _ = render.render_rays(
+        state.params, flat_o, flat_d, k, cfg.model, cfg.render,
+        cfg.camera, randomized=False, grid=grid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_s), np.asarray(coarse.rgb), atol=2e-5
+    )
+    # and the guided ts actually differ from uniform sampling
+    uniform, _ = render.render_rays(
+        state.params, flat_o, flat_d, k, cfg.model, cfg.render,
+        cfg.camera, randomized=False,
+    )
+    assert float(np.abs(np.asarray(uniform.rgb) - np.asarray(rgb_s)).max()) > 0
