@@ -158,39 +158,57 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def explicit_dests(argv) -> set:
+    """Dest names the user explicitly passed in ``argv``.
+
+    Re-parses with every default set to SUPPRESS, so only flags that
+    actually appeared on the command line land in the namespace —
+    presets must never clobber an explicit user flag."""
+    p = build_parser()
+    stack = [p]
+    while stack:
+        parser = stack.pop()
+        for a in parser._actions:
+            if isinstance(a, argparse._SubParsersAction):
+                stack.extend(a.choices.values())
+            else:
+                a.default = argparse.SUPPRESS
+    ns, _ = p.parse_known_args(argv)
+    return set(vars(ns))
+
+
 def _apply_preset(args):
-    """Mutate parsed args per the named BASELINE config before building
-    the Config (explicit flags the user passed still win where they
-    differ from the parser defaults is NOT attempted — presets are
-    starting points, applied before Config construction)."""
+    """Overlay the named BASELINE config onto parsed args before
+    building the Config. Precedence: explicit user flags (recorded in
+    ``args._explicit`` by main()) beat the preset; the preset beats
+    parser defaults. ``--preset hierarchical --num_samples 32`` keeps
+    the user's 32."""
     p = getattr(args, "preset", "")
+    explicit = getattr(args, "_explicit", set())
+
+    def _set(**kw):
+        for name, value in kw.items():
+            if name not in explicit:
+                setattr(args, name, value)
+
     if p == "tiny":
-        args.width = args.height = 100
-        args.num_rays = 4096
-        args.num_samples = 64
-        args.num_fine_samples = 0
-        args.use_whole_ray_train = True  # flagship default: fused kernel
+        _set(width=100, height=100, num_rays=4096, num_samples=64,
+             num_fine_samples=0,
+             use_whole_ray_train=True)  # flagship default: fused kernel
     elif p == "full":
-        args.num_samples = 64
-        args.num_fine_samples = 0
-        args.use_whole_ray_train = True
+        _set(num_samples=64, num_fine_samples=0, use_whole_ray_train=True)
     elif p == "hierarchical":
-        args.num_samples = 64
-        args.num_fine_samples = 128
-        args.white_background = True
         # fused coarse->resample->fine chain is this config's default:
         # 24.2 (standalone) / 32.7 (union) vs 43.3 / 64.6 ms XLA on v5e
-        args.use_whole_ray_train = True
+        _set(num_samples=64, num_fine_samples=128, white_background=True,
+             use_whole_ray_train=True)
     elif p == "proposal":
         # measured best time-to-quality (docs/PERFORMANCE.md): tiny
         # proposal picks 128 main samples, fused kernel main pass
-        args.num_samples = 128
-        args.num_fine_samples = 0
-        args.use_proposal = True
-        args.proposal_samples = 64
-        args.use_whole_ray_train = True
+        _set(num_samples=128, num_fine_samples=0, use_proposal=True,
+             proposal_samples=64, use_whole_ray_train=True)
     elif p == "pod":
-        args.error_resample_frac = max(args.error_resample_frac, 0.5)
+        _set(error_resample_frac=max(args.error_resample_frac, 0.5))
     return args
 
 
@@ -419,6 +437,11 @@ def cmd_eval(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # record which flags the user explicitly passed, so presets
+    # (_apply_preset) never override them
+    args._explicit = explicit_dests(
+        sys.argv[1:] if argv is None else argv
+    )
     if getattr(args, "debug_nans", False):
         import jax
 

@@ -113,6 +113,14 @@ class RenderConfig:
     # -7 dB on sparse scenes without it; ops/occupancy.occupancy_ts)
     occ_uniform_frac: float = 0.25
 
+    def __post_init__(self):
+        if self.occ_res > 0 and self.occ_update_steps < 1:
+            raise ValueError(
+                f"occ_update_steps must be >= 1 when occ_res > 0 "
+                f"(got {self.occ_update_steps}); the grid EMA cadence "
+                f"is a modulus in the train loop"
+            )
+
 
 @dataclass(frozen=True)
 class ProposalConfig:
@@ -165,6 +173,12 @@ class TrainConfig:
     # (hierarchical/proposal passes rescale rows-per-block by S, so this
     # sets the R*S operating point, not a hard ray count).
     whole_ray_block: int = 128
+    # Pallas interpret-mode override for the fused kernels. None = auto
+    # (interpret unless the default backend is a TPU). Set True when the
+    # computation targets a CPU mesh while a TPU backend is also
+    # registered (the hermetic multichip dryrun): default_backend()
+    # can't see which devices a shard_map program runs on.
+    kernel_interpret: Optional[bool] = None
 
 
 @dataclass(frozen=True)

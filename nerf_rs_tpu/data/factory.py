@@ -40,11 +40,18 @@ def make_dataset(
             return arrays
         idx, count = process_shard
         assert 0 <= idx < count, (idx, count)
-        out = tuple(a[idx::count] for a in arrays)
-        assert out[0].shape[0] > 0, (
+        n = arrays[0].shape[0]
+        # Truncate every process to the SAME per-process length: with
+        # n % count != 0, a[idx::count] gives hosts different-shaped
+        # stores, and a global-mesh jit program then compiles mismatched
+        # executables across processes (hang/crash). Dropping the last
+        # n % count views is statistically harmless — per-ray batches
+        # sample (view, x, y) iid.
+        per = n // count
+        assert per > 0, (
             f"process {idx}/{count} got no views — fewer views than hosts"
         )
-        return out
+        return tuple(a[idx::count][:per] for a in arrays)
 
     d = cfg.data
     if d.dataset in ("sphere", "flat_sphere"):

@@ -70,10 +70,22 @@ def load_err_store(ckpt_path: str):
 
 def restore(path: str, template: TrainState) -> TrainState:
     """Load into the structure of ``template`` (a freshly-initialized
-    state for the same Config)."""
+    state for the same Config).
+
+    Checkpoints written before TrainState gained a field (e.g. ``grid``)
+    lack that key in their state dict; flax's from_state_dict raises on
+    the name mismatch. Restore the dict first and backfill missing
+    NamedTuple fields from the template so old checkpoints keep loading.
+    """
     with open(path, "rb") as f:
-        data = f.read()
-    return serialization.from_bytes(template, data)
+        sd = serialization.msgpack_restore(f.read())
+    if isinstance(sd, dict):
+        for name in TrainState._fields:
+            if name not in sd:
+                sd[name] = serialization.to_state_dict(
+                    getattr(template, name)
+                )
+    return serialization.from_state_dict(template, sd)
 
 
 def restore_weights(path: str, template: TrainState) -> TrainState:
@@ -91,8 +103,24 @@ def restore_weights(path: str, template: TrainState) -> TrainState:
 
     def _field(name, tpl):
         if tpl is None or name not in sd:
+            if tpl is None and _nonempty(sd.get(name)):
+                # e.g. an occ-trained checkpoint evaluated without
+                # --occ_res: the grid silently dropping means uniform
+                # render sampling, measured -18 dB on thin-surface
+                # scenes (docs/PERFORMANCE.md) — make the mismatch loud
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint {path} carries '{name}' but the eval "
+                    f"config has none — it will be IGNORED. Pass the "
+                    f"matching flags (--occ_res / --num_fine_samples / "
+                    f"--use_proposal) or quality will silently collapse."
+                )
             return tpl
         return serialization.from_state_dict(tpl, sd[name])
+
+    def _nonempty(v):
+        return v is not None and not (isinstance(v, dict) and not v)
 
     return template._replace(
         step=_field("step", template.step),

@@ -114,6 +114,15 @@ def _matmul_dtype(cfg: Config):
     return None
 
 
+def _kernel_interpret(cfg: Config) -> bool:
+    """Pallas interpret mode: explicit override, else auto by backend.
+    The override matters when a TPU backend is registered but the
+    program targets a CPU mesh (hermetic multichip dryrun)."""
+    if cfg.train.kernel_interpret is not None:
+        return cfg.train.kernel_interpret
+    return jax.default_backend() != "tpu"  # Mosaic only targets TPU
+
+
 def loss_fn(
     trainable,
     batch: Batch,
@@ -137,7 +146,7 @@ def loss_fn(
         from ..kernels.fused_vjp import make_fused_field_fn
 
         field_fn = make_fused_field_fn(
-            cfg.model, interpret=jax.default_backend() != "tpu"
+            cfg.model, interpret=_kernel_interpret(cfg)
         )
         use_fused = True
     coarse, fine = render.render_rays(
@@ -328,7 +337,7 @@ def _whole_ray_pass(
         batch.gold[..., :3], cfg.model, S,
         white_bg=cfg.render.white_background,
         rays_per_block=rays_per_block,
-        interpret=jax.default_backend() != "tpu",
+        interpret=_kernel_interpret(cfg),
     )
     return unpack_grads(tg, params, cfg.model), tg
 
@@ -515,6 +524,10 @@ def eval_step(
         dtype=_matmul_dtype(cfg),
         prop_params=state.fine_params if prop else None,
         prop_cfg=cfg.proposal,
+        # match the training-time sampling distribution: occ-trained
+        # fields evaluated with uniform sampling collapse (26.7 vs
+        # 44.5 dB grid-guided, docs/PERFORMANCE.md)
+        grid=state.grid if cfg.render.occ_res > 0 else None,
     )
     out = fine if fine is not None else coarse
     m = render.mse(out.rgb[..., :3], batch.gold[..., :3])

@@ -99,3 +99,46 @@ def test_latest_checkpoint(tmp_path):
     p2 = ckpt.save(state, str(tmp_path), ts=200)
     assert ckpt.latest_checkpoint(str(tmp_path)) == p2
     assert ckpt.latest_checkpoint(str(tmp_path) + "/nope") is None
+
+
+def test_restore_pre_grid_checkpoint(tmp_path):
+    """Checkpoints saved before TrainState gained the ``grid`` field
+    (a 4-field state dict) must still restore (ADVICE r2: format break)."""
+    from flax import serialization
+
+    cfg = _cfg()
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    # simulate an old checkpoint: drop the 'grid' key from the state dict
+    sd = serialization.to_state_dict(jax.device_get(state))
+    sd.pop("grid")
+    path = str(tmp_path / "checkpoint-1-0.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(sd))
+    restored = ckpt.restore(path, state)
+    assert restored.grid is None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_weights_warns_on_dropped_grid(tmp_path):
+    """An occ-trained checkpoint evaluated without --occ_res silently
+    falls back to uniform sampling (measured -18 dB); the drop must be
+    loud (ADVICE r2)."""
+    import warnings
+
+    import dataclasses
+
+    cfg_occ = dataclasses.replace(
+        _cfg(), render=RenderConfig(num_samples=8, occ_res=4)
+    )
+    state = init_state(jax.random.PRNGKey(0), cfg_occ)
+    assert state.grid is not None
+    path = ckpt.save(state, str(tmp_path))
+    tmpl = init_state(jax.random.PRNGKey(0), _cfg())  # no occ_res
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ckpt.restore_weights(path, tmpl)
+    assert any("grid" in str(x.message) for x in w), [str(x.message) for x in w]

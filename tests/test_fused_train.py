@@ -294,10 +294,16 @@ def test_whole_ray_dp_step_matches_single_device():
     state_8, aux8 = step8(state_8, dp.place_batch(batch, mesh),
                           jax.random.PRNGKey(2))
     state_1, aux1 = train_step(state_1, batch, jax.random.PRNGKey(2), cfg)
-    # same batch, deterministic sampling, but per-shard keys differ from
-    # the single-device key — compare the applied updates loosely via
-    # the loss magnitudes and exact param-shape agreement
-    assert np.isfinite(float(aux8["loss"]))
+    # randomized=False makes sampling key-independent, so the per-shard
+    # key folds don't matter: 8 shard means pmean'd == the 64-ray mean,
+    # and the post-Adam params must agree to f32 summation-order noise
+    # (the recipe of test_parallel.py's XLA-path parity test)
+    np.testing.assert_allclose(
+        float(aux8["loss"]), float(aux1["loss"]), rtol=1e-5
+    )
     for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
                     jax.tree_util.tree_leaves(state_8.params)):
-        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="sharded whole-ray step diverged from single-device",
+        )
