@@ -81,7 +81,25 @@ def test_sample_pdf_uniform_weights_cover_range():
 
 
 def test_merge_ts_sorted():
+    # both inputs sorted per ray (the production precondition: stratified
+    # coarse ts and stratified-CDF sample_pdf output are each sorted)
     a = jnp.array([[0.1, 0.7]])
-    b = jnp.array([[0.4, 0.2]])
+    b = jnp.array([[0.2, 0.4]])
     m = np.asarray(sampling.merge_ts(a, b))
     np.testing.assert_allclose(m[0], [0.1, 0.2, 0.4, 0.7])
+
+
+def test_merge_ts_matches_sort():
+    """The gather-free 2-way merge must equal sort-of-concat exactly,
+    including duplicated values within and across the two arrays."""
+    key = jax.random.PRNGKey(11)
+    ka, kb = jax.random.split(key)
+    # quantized values force ties across AND within rows
+    a = jnp.sort(jnp.round(jax.random.uniform(ka, (64, 17)) * 8) / 8, axis=-1)
+    b = jnp.sort(jnp.round(jax.random.uniform(kb, (64, 31)) * 8) / 8, axis=-1)
+    merged = np.asarray(sampling.merge_ts(a, b))
+    gold = np.sort(np.concatenate([np.asarray(a), np.asarray(b)], -1), -1)
+    np.testing.assert_array_equal(merged, gold)
+    # still exact under jit + bf16-adjacent shapes used in production
+    m2 = np.asarray(jax.jit(sampling.merge_ts)(a, b))
+    np.testing.assert_array_equal(m2, gold)
