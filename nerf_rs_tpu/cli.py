@@ -113,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="host-pipeline buffered batches")
     _bool_flag(common, "use_native_loader", True,
                "C++ batch assembler for host-mode gold gather")
+    common.add_argument(
+        "--scenes", default="",
+        help="comma-separated scene list for multi-scene pod training "
+             "(BASELINE config 5): each entry is a dataset name "
+             "(sphere/flat_sphere) or an img_dir for --dataset; one "
+             "radiance field per scene, scene axis sharded over a "
+             "(scene, data) mesh",
+    )
     common.add_argument("--error_resample_frac", type=float, default=0.0,
                         help="fraction of rays drawn from the per-pixel error distribution")
     common.add_argument("--error_resample_ema", type=float, default=0.5)
@@ -300,9 +308,16 @@ def config_from_args(args) -> "Config":
 
 
 def cmd_train(args) -> int:
+    cfg = config_from_args(args)
+    scenes = [s for s in getattr(args, "scenes", "").split(",") if s]
+    if scenes:
+        from .train.loop import train_multiscene
+
+        state = train_multiscene(cfg, scene_specs=scenes)
+        print(f"done at step {int(state.step[0])} ({len(scenes)} scenes)")
+        return 0
     from .train.loop import train
 
-    cfg = config_from_args(args)
     state = train(cfg)
     print(f"done at step {int(state.step)}")
     return 0

@@ -19,6 +19,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SCENE_AXIS = "scene"
+
+
+def make_scene_mesh(
+    n_scenes: int, num_devices: int = 0, devices=None
+) -> Mesh:
+    """2-D (scene, data) mesh for multi-scene pod training.
+
+    Scene groups advance independent scenes (zero cross-group
+    collectives); within a group, rays are data-parallel with grad
+    psum. scene_shards = gcd(n_scenes, n_devices) so any scene count
+    maps onto any pod shape: 2 scenes on 8 chips -> (2, 4) — each scene
+    gets a 4-chip DP group; 3 scenes on 8 chips -> (1, 8) — every chip
+    holds all scenes vmapped, rays split 8 ways.
+    """
+    import math
+
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        assert num_devices <= len(devices), (
+            f"requested {num_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:num_devices]
+    ndev = len(devices)
+    scene_shards = math.gcd(n_scenes, ndev)
+    return Mesh(
+        np.asarray(devices).reshape(scene_shards, ndev // scene_shards),
+        (SCENE_AXIS, DATA_AXIS),
+    )
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import Config
 from ..train import step as step_mod
 from ..train.step import Batch, TrainState
-from .mesh import DATA_AXIS, num_shards
+from .mesh import DATA_AXIS, SCENE_AXIS, num_shards
 
 
 def init_multiscene_state(key: jax.Array, cfg: Config, n_scenes: int) -> TrainState:
@@ -47,29 +47,87 @@ def stack_batches(batches: Sequence[Batch]) -> Batch:
 def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
     """(stacked_state, stacked_batch, key) -> (stacked_state, stacked_aux).
 
-    Scene axis sharded over the mesh; n_scenes must be a multiple of the
-    mesh size.
+    On a 1-D ('data') mesh the scene axis is sharded over it directly
+    (n_scenes must divide the mesh size). On a 2-D ('scene', 'data')
+    mesh from make_scene_mesh, scenes shard over the scene axis and each
+    scene's rays are data-parallel within its group: grads psum over
+    'data' only — scene groups never communicate.
     """
-    nshards = num_shards(mesh)
+    two_d = SCENE_AXIS in mesh.shape
+    scene_axis = SCENE_AXIS if two_d else DATA_AXIS
+    nshards = mesh.shape[scene_axis]
     assert n_scenes % nshards == 0, (
-        f"{n_scenes} scenes must divide over {nshards} devices"
+        f"{n_scenes} scenes must divide over {nshards} scene shards"
     )
 
     def _local(states, batches, key):
         # each shard holds n_scenes/nshards scenes; vmap over them
-        shard = jax.lax.axis_index(DATA_AXIS)
+        shard = jax.lax.axis_index(scene_axis)
         keys = jax.vmap(
             lambda i: jax.random.fold_in(jax.random.fold_in(key, shard), i)
         )(jnp.arange(n_scenes // nshards))
-        return jax.vmap(
-            lambda st, b, k: step_mod.train_step_core(st, b, k, cfg)
-        )(states, batches, keys)
+        if not two_d:
+            return jax.vmap(
+                lambda st, b, k: step_mod.train_step_core(st, b, k, cfg)
+            )(states, batches, keys)
 
+        # 2-D: per-scene DP step — grads pmean over the data axis
+        # between backward and update (the dp.py recipe, vmapped over
+        # the shard's local scenes)
+        import optax
+
+        opt = step_mod.make_optimizer(cfg)
+        dshard = jax.lax.axis_index(DATA_AXIS)
+
+        def _scene_step(state, batch, k):
+            k = jax.random.fold_in(k, dshard)
+            trainable = step_mod._trainable(state, cfg)
+            if step_mod.whole_ray_supported(cfg):
+                grads, aux = step_mod.whole_ray_grads(
+                    trainable, batch, k, cfg, state.grid
+                )
+            else:
+                (_, aux), grads = jax.value_and_grad(
+                    step_mod.loss_fn, has_aux=True
+                )(trainable, batch, k, cfg, state.grid)
+            ray_err = aux.pop("ray_err")  # per-ray, stays sharded
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            aux = jax.lax.pmean(aux, DATA_AXIS)
+            aux["ray_err"] = ray_err
+            updates, opt_state = opt.update(grads, state.opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            params, fine_params = step_mod._untrainable(trainable, cfg)
+            return state._replace(
+                step=state.step + 1, params=params,
+                fine_params=fine_params, opt_state=opt_state,
+            ), aux
+
+        return jax.vmap(_scene_step)(states, batches, keys)
+
+    if not two_d:
+        sharded = jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    aux_spec = {
+        "loss": P(SCENE_AXIS), "loss_coarse": P(SCENE_AXIS),
+        "psnr": P(SCENE_AXIS),
+        "ray_err": P(SCENE_AXIS, DATA_AXIS),
+    }
+    if cfg.render.num_fine_samples > 0:
+        aux_spec["loss_fine"] = P(SCENE_AXIS)
+    if cfg.proposal.enabled:
+        aux_spec["loss_prop"] = P(SCENE_AXIS)
     sharded = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(SCENE_AXIS), P(SCENE_AXIS, DATA_AXIS), P()),
+        out_specs=(P(SCENE_AXIS), aux_spec),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -42,7 +42,12 @@ def save(
     """
     os.makedirs(save_dir, exist_ok=True)
     host_state = jax.device_get(state)
-    path = checkpoint_path(save_dir, int(host_state.step), ts)
+    # multi-scene states carry a stacked (n_scenes,) step vector — all
+    # scenes advance in lockstep, so any entry names the checkpoint
+    import numpy as np
+
+    step = int(np.asarray(host_state.step).reshape(-1)[0])
+    path = checkpoint_path(save_dir, step, ts)
     data = serialization.to_bytes(host_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

@@ -154,6 +154,129 @@ def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key,
                       prefix="density")
 
 
+def _scene_cfg(cfg: Config, spec: str) -> Config:
+    """Per-scene config from a --scenes spec: a known dataset name
+    selects that dataset; anything else is an img_dir for the
+    configured dataset type."""
+    if spec in ("sphere", "flat_sphere", "multiview_png", "blender"):
+        data = dataclasses.replace(cfg.data, dataset=spec)
+    else:
+        data = dataclasses.replace(cfg.data, img_dir=spec)
+    return dataclasses.replace(cfg, data=data)
+
+
+def train_multiscene(
+    cfg: Config,
+    scene_specs=None,
+    datasets=None,
+    on_step: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    """Pod-scale multi-scene training (BASELINE config 5): one radiance
+    field per scene over a 2-D (scene, data) mesh — scene groups advance
+    independent scenes with zero cross-group collectives; rays are
+    data-parallel within each group (parallel/multiscene.py).
+
+    The reference's driver exposes everything from one binary
+    (src/main.rs:26-117); this is the multi-scene analogue of train():
+    stacked init/checkpointing, per-scene losses and eval PSNR, same
+    mod-N hook semantics. Returns the stacked TrainState.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import multiscene as ms_mod
+    from ..parallel.mesh import DATA_AXIS, SCENE_AXIS
+
+    dist_init.initialize()
+    primary = dist_init.is_primary()
+    # the whole-ray kernel isn't vmapped over the scene axis (Pallas
+    # batching under vmap is untested on Mosaic); scenes train via the
+    # XLA autodiff path
+    cfg = dataclasses.replace(
+        cfg, use_whole_ray_train=False, use_fused_train=False
+    )
+    if datasets is None:
+        assert scene_specs, "train_multiscene needs scene_specs or datasets"
+        datasets = [
+            make_dataset(_scene_cfg(cfg, s)) for s in scene_specs
+        ]
+    n_scenes = len(datasets)
+    assert n_scenes >= 1
+    mesh = mesh_mod.make_scene_mesh(n_scenes, cfg.num_devices)
+    data_shards = mesh.shape[DATA_AXIS]
+    cfg = _effective_config(cfg, datasets[0])
+
+    run_id = cfg.run_name or str(int(time.time()))
+    tb = TBLogger(cfg.log_dir, run_id) if primary else NullLogger()
+    tb.hparams(cfg.hparams())
+    if primary:
+        with open(os.path.join(tb.dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = ms_mod.init_multiscene_state(key, cfg, n_scenes)
+    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    if load_path:
+        state = ckpt.restore(load_path, state)
+        print(f"resumed from {load_path} at step {int(state.step[0])}")
+    state = jax.device_put(state, NamedSharding(mesh, P(SCENE_AXIS)))
+    step_fn = ms_mod.make_multiscene_train_step(cfg, mesh, n_scenes)
+    sampler = ms_mod.MultiSceneSampler(datasets)
+    num_rays = ((cfg.train.num_rays + data_shards - 1) // data_shards
+                ) * data_shards
+    batch_sharding = NamedSharding(mesh, P(SCENE_AXIS, DATA_AXIS))
+
+    # per-scene eval renders run single-device (frames are small; the
+    # mesh is busy holding scene groups)
+    mesh1 = mesh_mod.make_mesh(1)
+    render_fn = dp.make_dp_render(cfg, mesh1)
+
+    def _eval_all(it):
+        psnrs = []
+        for s in range(n_scenes):
+            st = jax.device_get(ms_mod.scene_state(state, s))
+            o, d = datasets[s].view_rays(0)
+            rgb, _, _ = render_frame(cfg, st, o, d, mesh1, render_fn)
+            p = float(render_ops.psnr(rgb, datasets[s].view_gold(0)))
+            psnrs.append(p)
+            tb.scalars({f"psnr_eval/scene_{s}": p}, it)
+        if primary:
+            joined = ", ".join(f"{p:.2f}" for p in psnrs)
+            print(f"iter={it}, per-scene eval psnr=[{joined}]")
+        return psnrs
+
+    start = int(jax.device_get(state.step).reshape(-1)[0])
+    if not cfg.do_train:
+        return jax.device_get(state)
+    for it in range(start, cfg.train.num_iter):
+        k = jax.random.fold_in(key, it)
+        batch = jax.device_put(
+            sampler.sample(jax.random.fold_in(k, 0), num_rays),
+            batch_sharding,
+        )
+        state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
+        if primary and it % 50 == 0:
+            losses = np.asarray(jax.device_get(aux["loss"]))
+            joined = ", ".join(f"{l:.5f}" for l in losses)
+            print(f"iter={it}, per-scene loss=[{joined}]")
+        if it % cfg.train.logging_steps == 0 and it > 0:
+            for s, l in enumerate(np.asarray(jax.device_get(aux["loss"]))):
+                tb.scalars({f"loss/scene_{s}": float(l)}, it)
+            if on_step:
+                on_step(it, {"loss": float(np.mean(np.asarray(aux["loss"])))})
+        if cfg.eval_on_train and it % cfg.train.eval_steps == 0 and it > 0:
+            _eval_all(it)
+        if primary and it % cfg.train.save_steps == 0 and it > 0:
+            path = ckpt.save(state, cfg.save_dir)
+            print(f"saved {path}")
+
+    _eval_all(cfg.train.num_iter)
+    if primary:
+        ckpt.save(state, cfg.save_dir)
+    tb.flush()
+    tb.close()
+    return jax.device_get(state)
+
+
 def train(
     cfg: Config,
     dataset=None,

@@ -90,3 +90,62 @@ def test_multiscene_more_scenes_than_devices():
     # scenes diverge (different data)
     p = np.asarray(jax.device_get(ms.params["trunk"][0]["w"]))
     assert not np.allclose(p[0], p[1])
+
+
+def test_scene_mesh_2d_matches_independent_training():
+    """2-D (scene, data) mesh: 2 scenes over 8 devices -> each scene
+    gets a 4-chip DP group. Per-scene trajectories must match
+    independent single-scene training exactly (randomized=False makes
+    sampling key-independent; pmean over equal-ray shards == full mean)."""
+    cfg = _cfg()
+    n_scenes = 2
+    mesh = mesh_mod.make_scene_mesh(n_scenes, 8)
+    assert dict(mesh.shape) == {"scene": 2, "data": 4}
+    key = jax.random.PRNGKey(0)
+
+    ms = multiscene.init_multiscene_state(key, cfg, n_scenes)
+    step_fn = multiscene.make_multiscene_train_step(cfg, mesh, n_scenes)
+    sampler = multiscene.MultiSceneSampler(_datasets(cfg, n_scenes))
+
+    batches = []
+    for it in range(3):
+        k = jax.random.fold_in(key, it)
+        batch = sampler.sample(k, 32)
+        batches.append(batch)
+        ms, aux = step_fn(ms, batch, k)
+    assert aux["loss"].shape == (n_scenes,)
+
+    keys = jax.random.split(key, n_scenes)
+    from nerf_rs_tpu.train.step import train_step
+    for s in range(n_scenes):
+        st = init_state(keys[s], cfg)
+        for it in range(3):
+            k = jax.random.fold_in(key, it)
+            b = jax.tree_util.tree_map(lambda x: x[s], batches[it])
+            st, _ = train_step_core(st, b, jax.random.PRNGKey(0), cfg)
+        got = np.asarray(
+            jax.device_get(multiscene.scene_state(ms, s).params["trunk"][0]["w"])
+        )
+        want = np.asarray(st.params["trunk"][0]["w"])
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_multiscene_cli_e2e(tmp_path):
+    """Driver surface (VERDICT r2 next #5): the CLI trains 2 scenes on
+    the 8-virtual-device mesh and evals each per-scene."""
+    from nerf_rs_tpu.cli import main
+
+    log_dir = str(tmp_path / "logs")
+    save_dir = str(tmp_path / "ckpt")
+    rc = main([
+        "train", "--scenes", "sphere,flat_sphere",
+        "--width", "24", "--height", "24",
+        "--num_rays", "64", "--num_samples", "8",
+        "--num_views_per_hemisphere", "2",
+        "--log_dir", log_dir, "--save_dir", save_dir,
+        "--precision", "f32", "--num_iter", "11",
+        "--eval_steps", "5", "--logging_steps", "5", "--save_steps", "8",
+    ])
+    assert rc == 0
+    import os
+    assert any(c.startswith("checkpoint-") for c in os.listdir(save_dir))
