@@ -110,6 +110,97 @@ def field(points: jnp.ndarray, sharpness: float = 250.0
     return sigma, rgb
 
 
+def _sd_cylinder(p, c, r, h):
+    """Capped vertical cylinder: radius r, half-height h."""
+    q = p - jnp.asarray(c)
+    d_rad = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - r
+    d_cap = jnp.abs(q[..., 2]) - h
+    d = jnp.stack([d_rad, d_cap], axis=-1)
+    return jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1) + jnp.minimum(
+        jnp.max(d, axis=-1), 0.0
+    )
+
+
+def _sd_helix(p, c, R, pitch, r, z_half):
+    """Tube of radius r along a vertical helix of radius R and the
+    given pitch, clipped to |z - cz| <= z_half. Approximate SDF (exact
+    near the surface, which is all a sharpness-250 sigmoid ever sees)."""
+    q = p - jnp.asarray(c)
+    phase = jnp.arctan2(q[..., 1], q[..., 0])  # [-pi, pi]
+    ring = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - R
+    # distance along z to the nearest helix branch at this azimuth
+    dz = jnp.mod(
+        q[..., 2] - pitch * phase / (2.0 * math.pi) + 0.5 * pitch, pitch
+    ) - 0.5 * pitch
+    d = jnp.sqrt(ring**2 + dz**2) - r
+    return jnp.maximum(d, jnp.abs(q[..., 2]) - z_half)
+
+
+def _sd_cone(p, c, r_base, z_height):
+    """Upright cone: base radius r_base at z=cz, apex at cz+z_height
+    (approximate SDF — max of radial taper and caps)."""
+    q = p - jnp.asarray(c)
+    t = jnp.clip(q[..., 2] / z_height, 0.0, 1.0)
+    d_rad = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - r_base * (1.0 - t)
+    d_cap = jnp.maximum(-q[..., 2], q[..., 2] - z_height)
+    return jnp.maximum(d_rad, d_cap)
+
+
+def _sd_octahedron(p, c, s):
+    q = jnp.abs(p - jnp.asarray(c))
+    return (q[..., 0] + q[..., 1] + q[..., 2] - s) * 0.57735027
+
+
+def field_helix(points: jnp.ndarray, sharpness: float = 250.0
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Second record scene ("prochelix"): a DIFFERENT geometry family
+    (helical tube around a fluted post, perforated base plate, cone,
+    octahedron) and a DIFFERENT texture spectrum (azimuthal stripes +
+    ~20 rad/unit rings vs the lego scene's 12 rad/unit sinusoid) —
+    evidence that the record config isn't tuned to one field's
+    statistics (round-2 verdict next #7). Same density law and camera
+    layout as ``field``."""
+    p = points
+    # perforated base plate: box minus a 5x5 grid of drilled holes
+    plate = _sd_box(p, (0.0, 0.0, -0.18), (1.05, 1.05, 0.07))
+    gx = (jnp.round((p[..., 0] + 0.8) / 0.4) * 0.4 - 0.8).clip(-0.8, 0.8)
+    gy = (jnp.round((p[..., 1] + 0.8) / 0.4) * 0.4 - 0.8).clip(-0.8, 0.8)
+    hole = jnp.sqrt((p[..., 0] - gx) ** 2 + (p[..., 1] - gy) ** 2) - 0.07
+    plate = jnp.maximum(plate, -hole)  # boolean subtraction
+    post = _sd_cylinder(p, (0.0, 0.0, 0.35), 0.13, 0.55)
+    helix = _sd_helix(p, (0.0, 0.0, 0.35), R=0.38, pitch=0.42, r=0.07,
+                      z_half=0.52)
+    cone = _sd_cone(p, (-0.62, 0.55, -0.11), 0.30, 0.85)
+    octa = _sd_octahedron(p, (0.0, 0.0, 1.10), 0.30)
+
+    sdfs = jnp.stack([plate, post, helix, cone, octa], axis=-1)
+    sdf = jnp.min(sdfs, axis=-1)
+    prim = jnp.argmin(sdfs, axis=-1)
+    sigma = 60.0 * jax.nn.sigmoid(-sdf * sharpness)
+
+    palette = jnp.asarray([
+        [0.20, 0.65, 0.65],  # plate: teal
+        [0.82, 0.20, 0.62],  # post: magenta
+        [0.88, 0.72, 0.20],  # helix: gold
+        [0.45, 0.25, 0.75],  # cone: purple
+        [0.80, 0.25, 0.20],  # octahedron: crimson
+    ], jnp.float32)
+    base = palette[prim]
+    # texture spectrum distinct from the lego scene: azimuthal stripes
+    # riding z, and ~20 rad/unit radial rings on the plate
+    az = jnp.arctan2(p[..., 1], p[..., 0])
+    stripes = 0.5 + 0.5 * jnp.sin(10.0 * az + 20.0 * p[..., 2])
+    rings = 0.5 + 0.5 * jnp.sin(
+        20.0 * jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    )
+    mod = jnp.where(prim == 0, 0.35 + 0.65 * rings, 0.50 + 0.50 * stripes)
+    rgb = jnp.clip(base * mod[..., None], 0.0, 1.0)
+    return sigma, rgb
+
+
+FIELDS = {"lego": field, "helix": field_helix}
+
+
 def look_at_c2w(eye: np.ndarray, target=(0.0, 0.0, 0.15),
                 up=(0.0, 0.0, 1.0)) -> np.ndarray:
     """Blender-convention c2w (camera -z forward, +y up in view)."""
@@ -143,7 +234,8 @@ def hemisphere_poses(n: int, seed: int, radius: float = CAMERA_RADIUS
 
 def render_gold(c2w, height: int, width: int, focal: float,
                 near: float = 2.0, far: float = 6.0,
-                num_samples: int = 512, chunk: int = 4096) -> np.ndarray:
+                num_samples: int = 512, chunk: int = 4096,
+                field_fn=field) -> np.ndarray:
     # chunk=4096: XLA pads the (chunk, S, 3|5) point/sdf temps to 128
     # lanes (42x), so a 65536-ray chunk at 512 samples OOMs a 16 GB HBM
     """Integrate the analytic field to an (H, W, 4) float frame
@@ -167,7 +259,7 @@ def render_gold(c2w, height: int, width: int, focal: float,
     def render_chunk(od):
         oc, dc = od
         pts = oc[:, None, :] + ts[None, :, None] * dc[:, None, :]
-        sigma, rgb = field(pts)
+        sigma, rgb = field_fn(pts)
         tsb = jnp.broadcast_to(ts, sigma.shape)
         out = composite(sigma, rgb, deltas_from_ts(tsb, far), ts=tsb)
         return out.rgb, out.acc
@@ -185,8 +277,10 @@ def render_gold(c2w, height: int, width: int, focal: float,
 def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
                        n_val: int = 10, n_test: int = 25,
                        num_samples: int = 512, seed: int = 0,
-                       verbose: bool = True) -> None:
-    """Write a complete Blender-format scene directory."""
+                       verbose: bool = True, scene: str = "lego") -> None:
+    """Write a complete Blender-format scene directory for the named
+    procedural field (``FIELDS``: "lego" or "helix")."""
+    field_fn = FIELDS[scene]
     from .images import save_png
 
     focal = 0.5 * size / math.tan(0.5 * CAMERA_ANGLE_X)
@@ -198,7 +292,7 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
         frames = []
         for i in range(n):
             img = render_gold(poses[i], size, size, focal,
-                              num_samples=num_samples)
+                              num_samples=num_samples, field_fn=field_fn)
             save_png(os.path.join(out_dir, split, f"r_{i}.png"), img)
             frames.append({
                 "file_path": f"./{split}/r_{i}",

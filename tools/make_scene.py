@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     p.add_argument("--num_samples", type=int, default=512,
                    help="gold integration samples per ray")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene", default="lego", choices=["lego", "helix"],
+                   help="procedural field (data/procedural.FIELDS)")
     args = p.parse_args(argv)
 
     from nerf_rs_tpu.data.procedural import make_blender_scene
@@ -31,6 +33,7 @@ def main(argv=None) -> int:
     make_blender_scene(
         args.out, size=args.size, n_train=args.n_train, n_val=args.n_val,
         n_test=args.n_test, num_samples=args.num_samples, seed=args.seed,
+        scene=args.scene,
     )
     return 0
 
