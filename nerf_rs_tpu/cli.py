@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="uniform samples the proposal MLP evaluates")
     common.add_argument("--proposal_depth", type=int, default=4)
     common.add_argument("--proposal_width", type=int, default=64)
+    common.add_argument("--proposal_anneal_steps", type=int, default=0,
+                        help="mip-NeRF 360 resampling annealing horizon "
+                             "(0 = off)")
     common.add_argument("--accumulation_steps", type=int, default=1)
     common.add_argument(
         "--batch_mode", default="per_ray",
@@ -299,6 +302,7 @@ def config_from_args(args) -> "Config":
             num_samples=args.proposal_samples,
             net_depth=args.proposal_depth,
             net_width=args.proposal_width,
+            anneal_steps=args.proposal_anneal_steps,
         ),
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,

@@ -141,6 +141,13 @@ class ProposalConfig:
     net_width: int = 64
     pos_enc_levels: int = 10
     loss_mult: float = 1.0  # interlevel loss weight
+    # mip-NeRF 360 resampling annealing: over the first anneal_steps the
+    # proposal weights used for DRAWING samples are exponentiated by
+    # bias(step/anneal_steps, anneal_slope) in (0, 1] — early training
+    # samples near-uniformly while the proposal histogram is still
+    # garbage. 0 disables (round-2 behavior).
+    anneal_steps: int = 0
+    anneal_slope: float = 10.0
 
 
 @dataclass(frozen=True)
@@ -226,12 +233,13 @@ class Config:
     proposal: ProposalConfig = field(default_factory=ProposalConfig)
     # Parallelism: number of data-parallel shards; 0 = all local devices.
     num_devices: int = 0
-    # Render via the fused Pallas kernel. Off by default: measured
-    # end-to-end on v5e, the XLA path renders 800x800 in 0.86 s vs
-    # 1.60 s through the kernel wrapper (whose flat per-sample
-    # points/dirs copies pay the 42x lane-padding tax) and compiles
-    # 8 s vs 244 s. The kernel stays available and parity-tested.
-    use_fused_kernel: bool = False
+    # Render via the fused whole-ray Pallas kernel (kernels/fused_ray.py)
+    # — ON by default since round 3: rebuilt on the free-reshape Mosaic
+    # facts (no selector matmuls), it renders the 800x800 frame in
+    # 0.57 s vs XLA's 0.834 (interleaved A/B, benchmarks/ab_render.py)
+    # and compiles 37 s vs 121. Round 2's selector-based kernel lost
+    # (~62 TFLOP/s) and XLA was the default then.
+    use_fused_kernel: bool = True
     # route TRAINING through the custom-VJP fused kernel pair
     # (kernels/fused_vjp.py) instead of XLA autodiff
     use_fused_train: bool = False

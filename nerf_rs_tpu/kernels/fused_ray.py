@@ -10,16 +10,22 @@ never exists in HBM at all — this removes the flat (N*S, 3) copies
 whose 128-lane padding (42x expansion) made the per-sample kernel
 wrapper slower than XLA end-to-end (docs/PERFORMANCE.md).
 
-Mosaic supports neither (R, S) <-> (R*S, 1) reshapes nor gathers, so
-every expansion/collapse is an MXU matmul with an iota-built selector:
-  * expand per-ray -> per-sample rows:   x_rep = E @ x,
-      E[i, j] = 1 iff i // S == j                       (rows, R)
-  * per-sample scalar from (R, S):       t = rowsum((E @ ts) * sel),
-      sel[i, s] = 1 iff i % S == s                      (rows, S)
-  * collapse per-sample -> (R, S):       sd_rs = E^T @ (sd * sel)
-  * per-ray exclusive prefix:            excl = sd_rs @ STRICT_TRIU
-  * per-ray reduction:                   out = E^T @ payload
-All selectors cost <2% of the block's MLP FLOPs.
+Round-3 rebuild on the Mosaic facts probed for the TRAIN kernel
+(kernels/fused_train.py:16-24, each measured on real v5e):
+  * per-sample expansion is a FREE relayout:
+      pts = (o[:,None,:] + ts[:,:,None] * d[:,None,:]).reshape(rows, 3)
+    (leading-dim merges/splits with the minor dim intact are supported)
+    — the round-2 kernel burned MXU cycles expanding via (rows, R)
+    selector matmuls, which capped it at ~62 TFLOP/s.
+  * (rows,1) -> (R,S) relayouts are supported, so sigma moves to (R,S)
+    with a reshape and the ENTIRE compositing runs in (R,S) space:
+    no per-row collapse, no selectors anywhere in this kernel.
+  * no cumsum lowering -> the exclusive prefix sum is one
+    HIGHEST-precision strict-upper-triangular (R,S)@(S,S) matmul.
+
+Replaces the reference's predict-then-composite render entry
+(model::predict, /root/reference/src/model.rs:152-209) with a single
+fused native program per frame chunk (BASELINE north star).
 """
 
 from __future__ import annotations
@@ -62,40 +68,21 @@ def _ray_kernel(
     f32 = jnp.float32
     rows = R * S
     F = feature_width
-
-    # iota-built selectors
-    ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 0) // S
-    colR = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 1)
-    E = (ray_of_row == colR).astype(f32)  # (rows, R)
-    srow = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 0) % S
-    colS = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
-    sel = (srow == colS).astype(f32)  # (rows, S)
-
     hi = jax.lax.Precision.HIGHEST
 
-    def expand(x):  # (R, C) -> (rows, C), exact
-        return jax.lax.dot_general(
-            E, x, (((1,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=f32,
-        )
+    # ---- expansion: free relayouts, no selector matmuls ----
+    o = o_ref[:]
+    d = d_ref[:]
+    ts = ts_ref[:]
+    deltas = deltas_ref[:]
+    pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]).reshape(rows, 3)
+    x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
+    dv_ray = _pe_encode(vd_ref[:], dir_pad)  # (R, D) f32
+    dv = jnp.broadcast_to(
+        dv_ray[:, None, :], (R, S, dir_pad)
+    ).reshape(rows, dir_pad).astype(bf)
 
-    def scalar_per_row(m):  # (R, S) -> (rows, 1)
-        mr = jax.lax.dot_general(
-            E, m, (((1,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=f32,
-        )  # (rows, S)
-        return jnp.sum(mr * sel, axis=1, keepdims=True)
-
-    o_rep = expand(o_ref[:])
-    d_rep = expand(d_ref[:])
-    vd_rep = expand(vd_ref[:])
-    t_flat = scalar_per_row(ts_ref[:])
-    delta_flat = scalar_per_row(deltas_ref[:])
-
-    pts = o_rep + t_flat * d_rep  # (rows, 3) f32, exact
-    x = _pe_encode(pts, pos_pad).astype(bf)
-    dv = _pe_encode(vd_rep, dir_pad).astype(bf)
-
+    # ---- radiance field ----
     h = x
     for i in range(depth):
         acc = jnp.dot(h, trunk_w[i][:], preferred_element_type=f32)
@@ -104,61 +91,43 @@ def _ray_kernel(
         h = jnp.maximum(acc + trunk_b[i][:], 0.0).astype(bf)
 
     sf = jnp.dot(h, sf_w[:], preferred_element_type=f32) + sf_b[:]
-    sigma_raw = sf[:, F : F + 1]
+    sigma_raw_rs = sf[:, F : F + 1].reshape(R, S)  # supported relayout
     feat = sf[:, :F].astype(bf)
     hv = jnp.dot(feat, view_w[:], preferred_element_type=f32)
     hv = hv + jnp.dot(dv, view_dir_w[:], preferred_element_type=f32)
     hv = jnp.maximum(hv + view_b[:], 0.0).astype(bf)
     rgb_raw = jnp.dot(hv, rgb_w[:], preferred_element_type=f32) + rgb_b[:]
+    rgb_rs = jax.nn.sigmoid(rgb_raw[:, :3]).reshape(R, S, 3)
 
     if sigma_act == "relu":
-        sigma = jnp.maximum(sigma_raw, 0.0)
+        sigma_rs = jnp.maximum(sigma_raw_rs, 0.0)
     elif sigma_act == "softplus":
-        sigma = jnp.logaddexp(sigma_raw, 0.0)
+        sigma_rs = jnp.logaddexp(sigma_raw_rs, 0.0)
     else:
-        sigma = sigma_raw
-    rgb = jax.nn.sigmoid(rgb_raw[:, :3])  # (rows, 3)
+        sigma_rs = sigma_raw_rs
 
-    # compositing: exclusive per-ray prefix of sigma*delta via a strict
-    # upper-triangular matmul in (R, S) space
-    sd = sigma * delta_flat  # (rows, 1)
-    sd_rs = jax.lax.dot_general(
-        E, sd * sel, (((0,), (0,)), ((), ())), precision=hi,
+    # ---- compositing, entirely in (R, S) ----
+    a = sigma_rs * deltas
+    rs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    strict_triu = (rs_i < cs_i).astype(f32)
+    excl = jax.lax.dot_general(
+        a, strict_triu, (((1,), (0,)), ((), ())), precision=hi,
         preferred_element_type=f32,
-    )  # (R, S): E^T @ (sd broadcast on its sample column)
-    rs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    cs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    strict_triu = (rs < cs).astype(f32)
-    excl_rs = jax.lax.dot_general(
-        sd_rs, strict_triu, (((1,), (0,)), ((), ())), precision=hi,
-        preferred_element_type=f32,
-    )  # (R, S) exclusive prefix sums
-    excl = scalar_per_row(excl_rs)  # back to (rows, 1)
-
+    )  # (R, S) exclusive prefix sums of sigma*delta
     trans = jnp.exp(-excl)
-    alpha = 1.0 - jnp.exp(-sd)
-    w = trans * alpha  # (rows, 1)
+    w = trans * (1.0 - jnp.exp(-a))  # (R, S)
 
-    ones = jnp.ones_like(w)
-    zeros = jnp.zeros((rows, 3), f32)
-    payload = jnp.concatenate(
-        [rgb * w, w * ones, w * t_flat, zeros], axis=1
-    )  # (rows, 8): [wr, wg, wb, w(acc), w*t(depth), 0,0,0]
-    out = jax.lax.dot_general(
-        E, payload, (((0,), (0,)), ((), ())), precision=hi,
-        preferred_element_type=f32,
-    )  # (R, 8) per-ray sums
-    out_ref[:] = out
+    C = jnp.sum(w[:, :, None] * rgb_rs, axis=1)  # (R, 3)
+    acc_r = jnp.sum(w, axis=-1, keepdims=True)  # (R, 1)
+    depth_r = jnp.sum(w * ts, axis=-1, keepdims=True)  # (R, 1)
+    out_ref[:] = jnp.concatenate(
+        [C, acc_r, depth_r, jnp.zeros((R, 3), f32)], axis=1
+    )
     # per-sample weights/sigma in (R, S) layout — weights feed the
     # hierarchical fine-sampling PDF, sigma feeds diagnostics
-    w_out_ref[:] = jax.lax.dot_general(
-        E, w * sel, (((0,), (0,)), ((), ())), precision=hi,
-        preferred_element_type=f32,
-    )
-    sigma_out_ref[:] = jax.lax.dot_general(
-        E, sigma * sel, (((0,), (0,)), ((), ())), precision=hi,
-        preferred_element_type=f32,
-    )
+    w_out_ref[:] = w
+    sigma_out_ref[:] = sigma_rs
 
 
 @functools.partial(
@@ -174,16 +143,16 @@ def fused_ray_render(
     deltas: jnp.ndarray,
     cfg: ModelConfig,
     num_samples: int,
-    rays_per_block: int = 32,
+    rays_per_block: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render N rays fully in-kernel.
 
     Args: origins/dirs/viewdirs (N, 3); ts/deltas (N, S). N must divide
-    by rays_per_block (32 measured fastest on v5e: 57 TFLOP/s / 50M
-    samples/s; 16 and 64 are slower). Returns (rgb (N, 3), acc (N,),
-    depth (N,), weights (N, S), sigma (N, S)) — white-background
-    compositing stays with the caller.
+    by rays_per_block (default 128, the train kernel's tuned R*S
+    operating point at S=64). Returns (rgb (N, 3), acc (N,), depth (N,),
+    weights (N, S), sigma (N, S)) — white-background compositing stays
+    with the caller.
     """
     n = origins.shape[0]
     S = num_samples
@@ -193,6 +162,7 @@ def fused_ray_render(
     grid = (n // R,)
     depth_l = cfg.net_depth
     pos, pos_pad, dird, dir_pad = enc_dims(cfg)
+    W = cfg.net_width
 
     ray_spec = lambda width: pl.BlockSpec(
         (R, width), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -211,6 +181,12 @@ def fused_ray_render(
         _ray_kernel, depth_l, cfg.skip_layer, cfg.feature_width,
         pos_pad, dir_pad, S, R, cfg.sigma_activation,
     )
+    F = cfg.feature_width
+    V = packed.view_w.shape[1]
+    flops_row = 2 * (
+        pos_pad * W + (depth_l - 1) * W * W + pos_pad * W
+        + W * (F + 128) + F * V + dir_pad * V + V * 128
+    )
     out, w_rs, sigma_rs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -224,6 +200,11 @@ def fused_ray_render(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_row * n * S,
+            bytes_accessed=n * (3 * 3 * 4 + 2 * S * 4 + (8 + 2 * S) * 4),
+            transcendentals=n * S * (pos_pad + dir_pad + 6),
         ),
     )(origins, dirs, viewdirs, ts, deltas,
       *packed.trunk_w, packed.skip_w, *packed.trunk_b,

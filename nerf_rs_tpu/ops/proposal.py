@@ -65,11 +65,14 @@ def proposal_resample(
     camera: CameraConfig,
     randomized: bool,
     dtype=None,
+    anneal=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Main-network sample distances guided by the proposal:
     (ts_main (..., F) sorted, prop edges (..., P+1), prop weights
     (..., P)). The draw stop-grads the weights (sampling positions are
-    not a gradient path; the interlevel loss is)."""
+    not a gradient path; the interlevel loss is). ``anneal`` (scalar in
+    (0, 1], mip-NeRF 360) exponentiates the RESAMPLING weights only —
+    the interlevel loss still sees the raw histogram."""
     kp, km = jax.random.split(key)
     n = origins.shape[0]
     ts_p = sampling.stratified_ts(
@@ -78,9 +81,11 @@ def proposal_resample(
     w_p, bins_p = proposal_weights(
         prop_params, origins, dirs, ts_p, pcfg, camera.far, dtype
     )
-    ts_m = sampling.sample_pdf(
-        km, bins_p, jax.lax.stop_gradient(w_p), num_main_samples, randomized
-    )
+    w_draw = jax.lax.stop_gradient(w_p)
+    if anneal is not None:
+        w_draw = jnp.power(jnp.maximum(w_draw, 1e-7), anneal)
+    ts_m = sampling.sample_pdf(km, bins_p, w_draw, num_main_samples,
+                               randomized)
     return ts_m, bins_p, w_p
 
 

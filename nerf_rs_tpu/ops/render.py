@@ -230,7 +230,10 @@ def render_rays(
         )
         deltas = sampling.deltas_from_ts(ts_pass, camera.far)
         S = ts_pass.shape[-1]
-        R = 32
+        # ray block sized to the train kernel's tuned R*S = 128*64
+        # VMEM operating point (fused_train.py sweep)
+        R = max(8, min(128, (128 * 64) // max(S, 1)))
+        R = 1 << (R.bit_length() - 1)
         npad = ((n + R - 1) // R) * R
         o_p, d_p, vd_p, ts_p, dl_p = flat_o, flat_d, viewdirs, ts_pass, deltas
         if npad != n:

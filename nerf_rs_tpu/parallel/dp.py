@@ -61,14 +61,16 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         ds_meta = (dataset.mode, dataset.white_background, dataset.camera,
                    dataset.height, dataset.width, dataset.num_views)
 
-    def _local_grads(trainable, batch: Batch, key: jax.Array, grid=None):
+    def _local_grads(trainable, batch: Batch, key: jax.Array, grid=None,
+                     step=None):
         """Per-shard (possibly micro-batched) gradient computation."""
         if step_mod.whole_ray_supported(cfg):
-            return step_mod.whole_ray_grads(trainable, batch, key, cfg, grid)
+            return step_mod.whole_ray_grads(trainable, batch, key, cfg, grid,
+                                            step)
         if acc <= 1:
             (loss, aux), grads = jax.value_and_grad(
                 step_mod.loss_fn, has_aux=True
-            )(trainable, batch, key, cfg, grid)
+            )(trainable, batch, key, cfg, grid, step)
             return grads, aux
         n = batch.origins.shape[0]
         micro = n // acc
@@ -93,7 +95,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     def _step(state: TrainState, batch: Batch, key: jax.Array):
         key = jax.random.fold_in(key, _axis_index())
         trainable = step_mod._trainable(state, cfg)
-        grads, aux = _local_grads(trainable, batch, key, state.grid)
+        grads, aux = _local_grads(trainable, batch, key, state.grid,
+                                  state.step)
         ray_err = aux.pop("ray_err")  # per-ray, stays sharded
         # ICI gradient sync — mean over shards (each shard already
         # averaged over its local rays, shards hold equal ray counts)
@@ -131,7 +134,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
             )
             trainable = step_mod._trainable(state, cfg)
             grads, aux = _local_grads(
-                trainable, batch, jax.random.fold_in(k, 1), state.grid
+                trainable, batch, jax.random.fold_in(k, 1), state.grid,
+                state.step,
             )
             ray_err = aux.pop("ray_err")
             grads = _pmean(grads)

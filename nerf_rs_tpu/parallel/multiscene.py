@@ -84,12 +84,12 @@ def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
             trainable = step_mod._trainable(state, cfg)
             if step_mod.whole_ray_supported(cfg):
                 grads, aux = step_mod.whole_ray_grads(
-                    trainable, batch, k, cfg, state.grid
+                    trainable, batch, k, cfg, state.grid, state.step
                 )
             else:
                 (_, aux), grads = jax.value_and_grad(
                     step_mod.loss_fn, has_aux=True
-                )(trainable, batch, k, cfg, state.grid)
+                )(trainable, batch, k, cfg, state.grid, state.step)
             ray_err = aux.pop("ray_err")  # per-ray, stays sharded
             grads = jax.lax.pmean(grads, DATA_AXIS)
             aux = jax.lax.pmean(aux, DATA_AXIS)

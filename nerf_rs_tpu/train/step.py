@@ -123,19 +123,41 @@ def _kernel_interpret(cfg: Config) -> bool:
     return jax.default_backend() != "tpu"  # Mosaic only targets TPU
 
 
+def _prop_anneal(cfg: Config, step):
+    """mip-NeRF 360 annealing exponent for the proposal resampling
+    weights: bias(train_frac, slope) ramps 0 -> 1 over
+    proposal.anneal_steps, so early training samples near-uniformly
+    (the proposal histogram is garbage then) and sharpens as the
+    proposal learns. 1.0 when off (anneal_steps == 0) or no step."""
+    a = cfg.proposal.anneal_steps
+    if a <= 0 or step is None:
+        return None
+    x = jnp.clip(step.astype(jnp.float32) / a, 0.0, 1.0)
+    s = cfg.proposal.anneal_slope
+    return s * x / ((s - 1.0) * x + 1.0)
+
+
+def _anneal_weights(w, anneal):
+    if anneal is None:
+        return w
+    return jnp.power(jnp.maximum(w, 1e-7), anneal)
+
+
 def loss_fn(
     trainable,
     batch: Batch,
     key: jax.Array,
     cfg: Config,
     grid: Optional[jnp.ndarray] = None,
+    step=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """MSE of composited colors vs gold pixels; with hierarchical
     sampling, coarse and fine losses are summed (paper eq. 6); with
     proposal sampling, photometric + interlevel (_proposal_loss)."""
     if _has_prop(cfg):
         params, prop_params = trainable
-        return _proposal_loss(params, prop_params, batch, key, cfg)
+        return _proposal_loss(params, prop_params, batch, key, cfg,
+                              step=step)
     if _has_fine_net(cfg):
         params, fine_params = trainable
     else:
@@ -191,6 +213,7 @@ def _proposal_loss(
     key: jax.Array,
     cfg: Config,
     main_weights_fn=None,
+    step=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Photometric loss on proposal-guided samples + interlevel bound
     loss training the proposal (ops/proposal.py; mip-NeRF 360 scheme).
@@ -205,6 +228,7 @@ def _proposal_loss(
     ts_m, bins_p, w_p = prop_ops.proposal_resample(
         key, batch.origins, batch.dirs, prop_params, cfg.proposal,
         cfg.render.num_samples, cfg.camera, cfg.render.randomized, dtype,
+        anneal=_prop_anneal(cfg, step),
     )
     gold_rgb = batch.gold[..., :3]
     if main_weights_fn is None:
@@ -244,7 +268,7 @@ def _proposal_loss(
 
 
 def _whole_ray_proposal_grads(
-    trainable, batch: Batch, key: jax.Array, cfg: Config
+    trainable, batch: Batch, key: jax.Array, cfg: Config, step=None,
 ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
     """Proposal-guided training through the fused kernel: tiny proposal
     MLP in XLA picks the samples, ONE kernel launch computes the main
@@ -269,8 +293,9 @@ def _whole_ray_proposal_grads(
         prop_params,
     )
     ts_m = sampling.sample_pdf(
-        km, bins_p, jax.lax.stop_gradient(w_p), cfg.render.num_samples,
-        cfg.render.randomized,
+        km, bins_p,
+        _anneal_weights(jax.lax.stop_gradient(w_p), _prop_anneal(cfg, step)),
+        cfg.render.num_samples, cfg.render.randomized,
     )
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
     grads_m, tg = _whole_ray_pass(params, batch, vd, ts_m, cfg)
@@ -345,6 +370,7 @@ def _whole_ray_pass(
 def whole_ray_grads(
     trainable, batch: Batch, key: jax.Array, cfg: Config,
     grid: Optional[jnp.ndarray] = None,
+    step=None,
 ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
     """Gradients + aux via the fused whole-ray fwd+bwd kernel — one
     Pallas launch per pass replaces value_and_grad's whole fusion graph,
@@ -359,7 +385,7 @@ def whole_ray_grads(
     from ..ops import render as render_ops, sampling
 
     if _has_prop(cfg):
-        return _whole_ray_proposal_grads(trainable, batch, key, cfg)
+        return _whole_ray_proposal_grads(trainable, batch, key, cfg, step)
 
     if _has_fine_net(cfg):
         params, fine_params = trainable
@@ -463,10 +489,11 @@ def train_step_core(
     acc = cfg.train.accumulation_steps
 
     if whole_ray_supported(cfg):
-        grads, aux = whole_ray_grads(trainable, batch, key, cfg, state.grid)
+        grads, aux = whole_ray_grads(trainable, batch, key, cfg, state.grid,
+                                     state.step)
     elif acc <= 1:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, batch, key, cfg, state.grid
+            trainable, batch, key, cfg, state.grid, state.step
         )
     else:
         n = batch.origins.shape[0]

@@ -212,9 +212,13 @@ def test_grid_guided_render_matches_direct():
     rgb_s, depth_s, acc_s = render_fn(
         state.params, state.params, grid, flat_o, flat_d, k
     )
+    # match the dp path's configuration exactly: the render default is
+    # the fused whole-ray kernel at bf16 (round 3), so the direct call
+    # must use it too for bitwise-comparable output
     coarse, _ = render.render_rays(
         state.params, flat_o, flat_d, k, cfg.model, cfg.render,
         cfg.camera, randomized=False, grid=grid,
+        use_fused=cfg.use_fused_kernel, dtype=jnp.bfloat16,
     )
     np.testing.assert_allclose(
         np.asarray(rgb_s), np.asarray(coarse.rgb), atol=2e-5

@@ -186,3 +186,23 @@ def test_whole_ray_proposal_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(a) / denom, np.asarray(b_) / denom, atol=8e-2
         )
+
+
+def test_proposal_annealing_ramps_to_identity():
+    """anneal_steps > 0: early steps draw near-uniformly (exponent -> 0),
+    late steps reproduce the unannealed distribution (exponent -> 1)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from nerf_rs_tpu.config import Config, ProposalConfig
+    from nerf_rs_tpu.train.step import _prop_anneal
+
+    cfg = Config(proposal=ProposalConfig(enabled=True, anneal_steps=1000))
+    a0 = _prop_anneal(cfg, jnp.asarray(0, jnp.int32))
+    a_mid = _prop_anneal(cfg, jnp.asarray(100, jnp.int32))
+    a1 = _prop_anneal(cfg, jnp.asarray(1000, jnp.int32))
+    a2 = _prop_anneal(cfg, jnp.asarray(5000, jnp.int32))
+    assert float(a0) == 0.0
+    assert 0.0 < float(a_mid) < 1.0
+    assert float(a1) == 1.0 and float(a2) == 1.0
+    off = Config(proposal=ProposalConfig(enabled=True, anneal_steps=0))
+    assert _prop_anneal(off, jnp.asarray(10, jnp.int32)) is None
