@@ -135,8 +135,6 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--run_name", default="")
     _bool_flag(common, "compat", False, "reference-compat math (8x100 MLP, sigma-grayscale)")
     _bool_flag(common, "use_fused_kernel", False)
-    _bool_flag(common, "use_fused_train", False,
-               "train through the custom-VJP Pallas kernel pair")
     _bool_flag(common, "use_whole_ray_train", False,
                "train through the whole-ray fused fwd+bwd kernel "
                "(one Pallas launch/step, activations VMEM-resident)")
@@ -306,7 +304,6 @@ def config_from_args(args) -> "Config":
         ),
         num_devices=args.num_devices,
         use_fused_kernel=args.use_fused_kernel,
-        use_fused_train=args.use_fused_train,
         use_whole_ray_train=args.use_whole_ray_train,
     )
 

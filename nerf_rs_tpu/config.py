@@ -240,9 +240,6 @@ class Config:
     # and compiles 37 s vs 121. Round 2's selector-based kernel lost
     # (~62 TFLOP/s) and XLA was the default then.
     use_fused_kernel: bool = True
-    # route TRAINING through the custom-VJP fused kernel pair
-    # (kernels/fused_vjp.py) instead of XLA autodiff
-    use_fused_train: bool = False
     # route TRAINING through the whole-ray fused fwd+bwd kernel
     # (kernels/fused_train.py): one Pallas launch per step, activations
     # VMEM-resident, dW accumulated in VMEM. Coarse-only flagship
@@ -260,7 +257,11 @@ class Config:
 
     @staticmethod
     def from_dict(d: dict) -> "Config":
-        kw = {k: v for k, v in d.items() if not isinstance(v, dict)}
+        known = {f.name for f in dataclasses.fields(Config)}
+        # tolerate keys from retired config fields (e.g. round-2's
+        # use_fused_train) so old run dirs' config.json still load
+        kw = {k: v for k, v in d.items()
+              if not isinstance(v, dict) and k in known}
         # tuples come back as lists from json
         cam = dict(d.get("camera", {}))
         for k in ("origin", "at", "up"):

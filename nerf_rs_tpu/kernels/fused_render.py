@@ -157,128 +157,3 @@ def pack_weights(params: Params, cfg: ModelConfig) -> PackedWeights:
         rgb_w=padw(params["rgb"]["w"], V, 128),
         rgb_b=padb(params["rgb"]["b"], 128),
     )
-
-
-def _fused_kernel(
-    depth: int,
-    skip_layer: int,
-    feature_width: int,
-    pos_pad: int,
-    dir_pad: int,
-    pts_ref,
-    dirs_ref,
-    *refs,
-):
-    """One grid step: ROWS sample points -> raw sigma + raw rgb."""
-    nw = depth  # trunk weight count
-    trunk_w = refs[:nw]
-    skip_w = refs[nw]
-    trunk_b = refs[nw + 1 : 2 * nw + 1]
-    (sf_w, sf_b, view_w, view_dir_w, view_b, rgb_w, rgb_b,
-     sigma_out, rgb_out) = refs[2 * nw + 1 :]
-
-    bf = jnp.bfloat16
-    f32 = jnp.float32
-
-    x = _pe_encode(pts_ref[:], pos_pad).astype(bf)  # (ROWS, P)
-    d = _pe_encode(dirs_ref[:], dir_pad).astype(bf)  # (ROWS, D)
-
-    h = x
-    for i in range(depth):
-        acc = jnp.dot(h, trunk_w[i][:], preferred_element_type=f32)
-        if i == skip_layer and i > 0:
-            acc = acc + jnp.dot(x, skip_w[:], preferred_element_type=f32)
-        h = jnp.maximum(acc + trunk_b[i][:], 0.0).astype(bf)
-
-    sf = jnp.dot(h, sf_w[:], preferred_element_type=f32) + sf_b[:]
-    F = feature_width
-    sigma_out[:] = sf[:, F : F + 1]
-    feat = sf[:, :F].astype(bf)
-
-    hv = jnp.dot(feat, view_w[:], preferred_element_type=f32)
-    hv = hv + jnp.dot(d, view_dir_w[:], preferred_element_type=f32)
-    hv = jnp.maximum(hv + view_b[:], 0.0).astype(bf)
-
-    rgb = jnp.dot(hv, rgb_w[:], preferred_element_type=f32) + rgb_b[:]
-    rgb_out[:] = rgb[:, :4]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "rows_per_block", "interpret")
-)
-def fused_mlp_apply(
-    packed: PackedWeights,
-    points: jnp.ndarray,
-    viewdirs: jnp.ndarray,
-    cfg: ModelConfig,
-    rows_per_block: int = 1024,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate the fused field on flat (N, 3) points + per-sample
-    (N, 3) unit viewdirs. Returns RAW (sigma (N,), rgb_raw (N, 3)) —
-    caller applies sigma activation / sigmoid (parity with
-    models.mlp.apply_nerf semantics).
-
-    N must be a multiple of rows_per_block (callers pad; render/train
-    batch shapes are static powers of two).
-    """
-    n = points.shape[0]
-    assert n % rows_per_block == 0, (n, rows_per_block)
-    grid = (n // rows_per_block,)
-    depth = cfg.net_depth
-
-    row_spec = lambda width: pl.BlockSpec(
-        (rows_per_block, width), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    in_specs = [
-        row_spec(3),  # points
-        row_spec(3),  # dirs
-        *[full(w) for w in packed.trunk_w],
-        full(packed.skip_w),
-        *[full(b) for b in packed.trunk_b],
-        full(packed.sf_w),
-        full(packed.sf_b),
-        full(packed.view_w),
-        full(packed.view_dir_w),
-        full(packed.view_b),
-        full(packed.rgb_w),
-        full(packed.rgb_b),
-    ]
-    out_specs = (row_spec(1), row_spec(4))
-    out_shape = (
-        jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n, 4), jnp.float32),
-    )
-
-    pos, pos_pad, dird, dir_pad = enc_dims(cfg)
-    kernel = functools.partial(
-        _fused_kernel, depth, cfg.skip_layer, cfg.feature_width,
-        pos_pad, dir_pad,
-    )
-    flops_per_row = 2 * (
-        sum(w.shape[0] * w.shape[1] for w in packed.trunk_w)
-        + packed.skip_w.shape[0] * packed.skip_w.shape[1]
-        + packed.sf_w.shape[0] * packed.sf_w.shape[1]
-        + packed.view_w.shape[0] * packed.view_w.shape[1]
-        + packed.view_dir_w.shape[0] * packed.view_dir_w.shape[1]
-        + packed.rgb_w.shape[0] * packed.rgb_w.shape[1]
-    )
-    sigma, rgb4 = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_row * n,
-            bytes_accessed=n * (3 + 3 + 1 + 4) * 4,
-            transcendentals=n * (pos_pad + dir_pad),
-        ),
-    )(points, viewdirs,
-      *packed.trunk_w, packed.skip_w, *packed.trunk_b,
-      packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
-      packed.view_b, packed.rgb_w, packed.rgb_b)
-    return sigma[:, 0], rgb4[:, :3]

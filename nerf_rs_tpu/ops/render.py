@@ -108,49 +108,6 @@ def fused_supported(model_cfg: ModelConfig) -> bool:
     )
 
 
-def _fused_field(params: Params, pts: jnp.ndarray, viewdirs: jnp.ndarray,
-                 model_cfg: ModelConfig, packed=None, field_fn=None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate sigma/rgb via the fused Pallas kernel.
-
-    Default is the inference kernel (no VJP). ``field_fn`` (from
-    kernels/fused_vjp.make_fused_field_fn) swaps in the differentiable
-    custom-VJP variant for training; weights are then packed inside so
-    gradients flow back to ``params`` through pack_weights' VJP.
-    ``packed`` lets chunk-looping callers pack once.
-    """
-    from ..kernels.fused_render import fused_mlp_apply, pack_weights
-
-    shape = pts.shape[:-1]
-    flat_pts = pts.reshape(-1, 3)
-    flat_dirs = jnp.broadcast_to(viewdirs, pts.shape).reshape(-1, 3)
-    n = flat_pts.shape[0]
-    block = 1024
-    npad = ((n + block - 1) // block) * block
-    if npad != n:
-        flat_pts = jnp.concatenate([flat_pts, jnp.zeros((npad - n, 3), flat_pts.dtype)])
-        flat_dirs = jnp.concatenate([flat_dirs, jnp.ones((npad - n, 3), flat_dirs.dtype)])
-    if packed is None:
-        packed = pack_weights(params, model_cfg)
-    if field_fn is not None:
-        sigma_raw, rgb_raw = field_fn(packed, flat_pts, flat_dirs)
-    else:
-        # Mosaic only targets TPU; CPU (tests / virtual meshes) interprets.
-        interpret = jax.default_backend() != "tpu"
-        sigma_raw, rgb_raw = fused_mlp_apply(packed, flat_pts, flat_dirs, model_cfg,
-                                             rows_per_block=block,
-                                             interpret=interpret)
-    sigma_raw = sigma_raw[:n].reshape(shape)
-    rgb = jax.nn.sigmoid(rgb_raw[:n]).reshape(*shape, 3)
-    if model_cfg.sigma_activation == "relu":
-        sigma = jax.nn.relu(sigma_raw)
-    elif model_cfg.sigma_activation == "softplus":
-        sigma = jax.nn.softplus(sigma_raw)
-    else:
-        sigma = sigma_raw
-    return sigma, rgb
-
-
 def render_rays(
     params: Params,
     origins: jnp.ndarray,
@@ -165,7 +122,6 @@ def render_rays(
     use_fused: bool = False,
     packed=None,
     fine_packed=None,
-    field_fn=None,
     grid: Optional[jnp.ndarray] = None,
     prop_params: Optional[Params] = None,
     prop_cfg=None,
@@ -264,17 +220,7 @@ def render_rays(
 
     def field_eval(pass_params: Params, pts: jnp.ndarray, noise_key,
                    pass_packed) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Per-sample (sigma, rgb) via the fused per-sample kernel pair
-        (training) or the jnp model."""
-        if use_fused and field_fn is not None and noise_std == 0.0:
-            # differentiable per-sample kernel pair (training path);
-            # noise forces the jnp path — the kernel returns
-            # post-activation sigma, so pre-activation noise can't be
-            # applied outside it
-            return _fused_field(
-                pass_params, pts, viewdirs[..., None, :], model_cfg,
-                packed=pass_packed, field_fn=field_fn,
-            )
+        """Per-sample (sigma, rgb) via the jnp model (XLA path)."""
         # keep the (rays, samples, 3) shape through the MLP: XLA
         # lowers the dense layers to convs whose layouts measure
         # FASTER end-to-end than a flattened 2-D formulation (the
@@ -289,7 +235,6 @@ def render_rays(
                  pass_packed=None, noise_key=None) -> RenderOut:
         if (
             use_fused
-            and field_fn is None
             and not render_cfg.compat_density_color
             and noise_std == 0.0
         ):
@@ -319,8 +264,8 @@ def render_rays(
         and render_cfg.num_fine_samples > 0
         and fine_params is None
         and not render_cfg.compat_density_color
-        and not (use_fused and field_fn is None)  # whole-ray kernel
-        # returns no per-sample rgb to cache
+        and not use_fused  # the whole-ray kernel returns no
+        # per-sample rgb to cache
     )
 
     fine = None

@@ -191,9 +191,7 @@ def train_multiscene(
     # the whole-ray kernel isn't vmapped over the scene axis (Pallas
     # batching under vmap is untested on Mosaic); scenes train via the
     # XLA autodiff path
-    cfg = dataclasses.replace(
-        cfg, use_whole_ray_train=False, use_fused_train=False
-    )
+    cfg = dataclasses.replace(cfg, use_whole_ray_train=False)
     if datasets is None:
         assert scene_specs, "train_multiscene needs scene_specs or datasets"
         datasets = [

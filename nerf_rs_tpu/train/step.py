@@ -162,15 +162,6 @@ def loss_fn(
         params, fine_params = trainable
     else:
         params, fine_params = trainable, None
-    field_fn = None
-    use_fused = False
-    if cfg.use_fused_train and render.fused_supported(cfg.model):
-        from ..kernels.fused_vjp import make_fused_field_fn
-
-        field_fn = make_fused_field_fn(
-            cfg.model, interpret=_kernel_interpret(cfg)
-        )
-        use_fused = True
     coarse, fine = render.render_rays(
         params,
         batch.origins,
@@ -181,8 +172,6 @@ def loss_fn(
         cfg.camera,
         fine_params=fine_params,
         dtype=_matmul_dtype(cfg),
-        use_fused=use_fused,
-        field_fn=field_fn,
         grid=grid,
     )
     gold_rgb = batch.gold[..., :3]

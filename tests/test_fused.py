@@ -7,11 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_rs_tpu.config import CameraConfig, ModelConfig, RenderConfig
-from nerf_rs_tpu.kernels.fused_render import (
-    enc_dims,
-    fused_mlp_apply,
-    pack_weights,
-)
+from nerf_rs_tpu.kernels.fused_render import enc_dims, pack_weights
 from nerf_rs_tpu.models.encoding import posenc
 from nerf_rs_tpu.models.mlp import apply_nerf, init_nerf_params
 from nerf_rs_tpu.ops import rays, render
@@ -31,21 +27,6 @@ def _inputs(n):
 def test_enc_dims():
     pos, pos_pad, dird, dir_pad = enc_dims(ModelConfig())
     assert (pos, pos_pad, dird, dir_pad) == (63, 64, 27, 32)
-
-
-def test_fused_matches_reference_apply():
-    params = init_nerf_params(jax.random.PRNGKey(0), CFG)
-    packed = pack_weights(params, CFG)
-    pts, dirs = _inputs(512)
-    sig_k, rgb_k = fused_mlp_apply(packed, pts, dirs, CFG,
-                                   rows_per_block=256, interpret=True)
-    sig_r, rgb_r = apply_nerf(params, pts, dirs, CFG, dtype=jnp.bfloat16)
-    np.testing.assert_allclose(
-        np.asarray(jax.nn.relu(sig_k)), np.asarray(sig_r), atol=2e-2
-    )
-    np.testing.assert_allclose(
-        np.asarray(jax.nn.sigmoid(rgb_k)), np.asarray(rgb_r), atol=5e-3
-    )
 
 
 def test_pe_layout_matches_posenc():
