@@ -180,6 +180,11 @@ class TrainConfig:
     # (hierarchical/proposal passes rescale rows-per-block by S, so this
     # sets the R*S operating point, not a hard ray count).
     whole_ray_block: int = 128
+    # Sub-blocks interleaved per grid step of the whole-ray train
+    # kernel: 2 emits the halves' MXU ops adjacently so one half's
+    # matmul overlaps the other's dependent VPU work (the ~100 vs 91
+    # TFLOP/s probe, docs/PERFORMANCE.md). 1 = round-2 behavior.
+    whole_ray_halves: int = 1
     # Pallas interpret-mode override for the fused kernels. None = auto
     # (interpret unless the default backend is a TPU). Set True when the
     # computation targets a CPU mesh while a TPU backend is also

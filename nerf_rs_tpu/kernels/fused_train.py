@@ -97,12 +97,22 @@ def _train_kernel(
     R: int,
     white_bg: bool,
     loss_scale: float,  # d(loss)/d(sum of squared residuals) = 1/(3N)
+    halves: int,  # sub-blocks interleaved for MXU/VPU overlap (1 or 2)
     o_ref, d_ref, vd_ref, ts_ref, deltas_ref, gold_ref,
     *refs,
 ):
+    """Fused fwd+bwd body. With ``halves=2`` the ray block is processed
+    as two interleaved sub-blocks: every stage emits the two halves'
+    MXU ops adjacently so sub-block B's matmul can overlap sub-block
+    A's dependent VPU work (relu/exp/sigmoid/PE) — the interleaving
+    that probed ~100 TFLOP/s vs 91 for one stream on v5e
+    (docs/PERFORMANCE.md). halves=1 reproduces the round-2 kernel
+    exactly."""
     bf, f32 = jnp.bfloat16, jnp.float32
-    rows = R * S
     hi = jax.lax.Precision.HIGHEST
+    H = halves
+    Rh = R // H
+    rows = Rh * S
 
     # ---- unpack refs -----------------------------------------------------
     i = 0
@@ -126,144 +136,173 @@ def _train_kernel(
         for r in grad_refs:
             r[:] = jnp.zeros_like(r)
 
+    def each(fn):  # per-half map, emitting the halves' ops adjacently
+        return [fn(p) for p in range(H)]
+
+    def hsum(xs):  # one accumulator write per VMEM grad ref
+        out = xs[0]
+        for x in xs[1:]:
+            out = out + x
+        return out
+
     # ---- forward ---------------------------------------------------------
-    o = o_ref[:]
-    d = d_ref[:]
-    ts = ts_ref[:]
-    deltas = deltas_ref[:]
-    pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]).reshape(rows, 3)
-    x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
-    dv_ray = _pe_encode(vd_ref[:], dir_pad)  # (R, D) f32
-    dv = jnp.broadcast_to(
-        dv_ray[:, None, :], (R, S, dir_pad)
-    ).reshape(rows, dir_pad).astype(bf)
+    sl = lambda ref, p: ref[p * Rh:(p + 1) * Rh]
+    o = each(lambda p: sl(o_ref, p))
+    d = each(lambda p: sl(d_ref, p))
+    ts = each(lambda p: sl(ts_ref, p))
+    deltas = each(lambda p: sl(deltas_ref, p))
+    pts = each(lambda p: (
+        o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]
+    ).reshape(rows, 3))
+    x = each(lambda p: _pe_encode(pts[p], pos_pad).astype(bf))  # (rows, P)
+    dv = each(lambda p: jnp.broadcast_to(
+        _pe_encode(sl(vd_ref, p), dir_pad)[:, None, :], (Rh, S, dir_pad)
+    ).reshape(rows, dir_pad).astype(bf))
 
-    hs = []  # post-relu activations, kept in VMEM for the backward
-    h = x
+    hs = [[] for _ in range(H)]  # post-relu activations for the backward
+    h = list(x)
     for li in range(depth):
-        acc = jnp.dot(h, trunk_w[li][:], preferred_element_type=f32)
+        acc = each(lambda p: jnp.dot(
+            h[p], trunk_w[li][:], preferred_element_type=f32))
         if li == skip_layer and li > 0:
-            acc = acc + jnp.dot(x, skip_w[:], preferred_element_type=f32)
-        h = jnp.maximum(acc + trunk_b[li][:], 0.0).astype(bf)
-        hs.append(h)
+            acc = each(lambda p: acc[p] + jnp.dot(
+                x[p], skip_w[:], preferred_element_type=f32))
+        h = each(lambda p: jnp.maximum(
+            acc[p] + trunk_b[li][:], 0.0).astype(bf))
+        for p in range(H):
+            hs[p].append(h[p])
 
-    sf = jnp.dot(h, sf_w[:], preferred_element_type=f32) + sf_b[:]
-    sigma_raw_rs = sf[:, F:F + 1].reshape(R, S)  # (rows,1)->(R,S) relayout
-    feat = sf[:, :F].astype(bf)
-    hv_acc = jnp.dot(feat, view_w[:], preferred_element_type=f32)
-    hv_acc = hv_acc + jnp.dot(dv, view_dir_w[:], preferred_element_type=f32)
-    hv = jnp.maximum(hv_acc + view_b[:], 0.0).astype(bf)
-    rgb_raw = (jnp.dot(hv, rgb_w[:], preferred_element_type=f32)
-               + rgb_b[:])[:, :3]  # (rows, 3)
-    rgb = jax.nn.sigmoid(rgb_raw)
-    rgb_rs = rgb.reshape(R, S, 3)
+    sf = each(lambda p: jnp.dot(
+        h[p], sf_w[:], preferred_element_type=f32) + sf_b[:])
+    sigma_raw_rs = each(lambda p: sf[p][:, F:F + 1].reshape(Rh, S))
+    feat = each(lambda p: sf[p][:, :F].astype(bf))
+    hv_acc = each(lambda p: jnp.dot(
+        feat[p], view_w[:], preferred_element_type=f32))
+    hv_acc = each(lambda p: hv_acc[p] + jnp.dot(
+        dv[p], view_dir_w[:], preferred_element_type=f32))
+    hv = each(lambda p: jnp.maximum(hv_acc[p] + view_b[:], 0.0).astype(bf))
+    rgb_raw = each(lambda p: (jnp.dot(
+        hv[p], rgb_w[:], preferred_element_type=f32) + rgb_b[:])[:, :3])
+    rgb = each(lambda p: jax.nn.sigmoid(rgb_raw[p]))
+    rgb_rs = each(lambda p: rgb[p].reshape(Rh, S, 3))
 
-    # compositing in (R, S)
-    sigma_rs = jnp.maximum(sigma_raw_rs, 0.0)
-    a = sigma_rs * deltas  # sigma*delta
+    # compositing in (Rh, S)
+    sigma_rs = each(lambda p: jnp.maximum(sigma_raw_rs[p], 0.0))
+    a = each(lambda p: sigma_rs[p] * deltas[p])  # sigma*delta
     rs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     cs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     triu_strict = (rs_i < cs_i).astype(f32)
     tril_strict = (rs_i > cs_i).astype(f32)
-    excl = jax.lax.dot_general(a, triu_strict, (((1,), (0,)), ((), ())),
-                               precision=hi, preferred_element_type=f32)
-    trans = jnp.exp(-excl)
-    w = trans * (1.0 - jnp.exp(-a))  # (R, S)
-    C = jnp.sum(w[:, :, None] * rgb_rs, axis=1)  # (R, 3)
-    acc_r = jnp.sum(w, axis=-1, keepdims=True)  # (R, 1)
+    excl = each(lambda p: jax.lax.dot_general(
+        a[p], triu_strict, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=f32))
+    trans = each(lambda p: jnp.exp(-excl[p]))
+    w = each(lambda p: trans[p] * (1.0 - jnp.exp(-a[p])))  # (Rh, S)
+    C = each(lambda p: jnp.sum(w[p][:, :, None] * rgb_rs[p], axis=1))
+    acc_r = each(lambda p: jnp.sum(w[p], axis=-1, keepdims=True))
     if white_bg:
-        C = C + (1.0 - acc_r)
+        C = each(lambda p: C[p] + (1.0 - acc_r[p]))
 
-    w_ref[:] = w  # per-ray weights out (hierarchical PDF input)
-    gold = gold_ref[:]
-    res = C - gold  # (R, 3)
-    sqerr = jnp.mean(res * res, axis=-1, keepdims=True)  # (R, 1)
-    diag_ref[:] = jnp.concatenate(
-        [C, acc_r, sqerr, jnp.zeros((R, 3), f32)], axis=1
-    )
+    gold = each(lambda p: sl(gold_ref, p))
+    res = each(lambda p: C[p] - gold[p])  # (Rh, 3)
+    sqerr = each(lambda p: jnp.mean(res[p] * res[p], axis=-1, keepdims=True))
+    for p in range(H):
+        w_ref[p * Rh:(p + 1) * Rh] = w[p]  # hierarchical PDF input
+        diag_ref[p * Rh:(p + 1) * Rh] = jnp.concatenate(
+            [C[p], acc_r[p], sqerr[p], jnp.zeros((Rh, 3), f32)], axis=1
+        )
 
     # ---- backward ----------------------------------------------------------
-    dC = (2.0 * loss_scale) * res  # (R, 3)
-    u = jnp.sum(rgb_rs * dC[:, None, :], axis=-1)  # dL/dw (R, S)
+    dC = each(lambda p: (2.0 * loss_scale) * res[p])  # (Rh, 3)
+    u = each(lambda p: jnp.sum(rgb_rs[p] * dC[p][:, None, :], axis=-1))
     if white_bg:
-        u = u - jnp.sum(dC, axis=-1, keepdims=True)  # d(1-acc) term
-    drgb_rs = w[:, :, None] * dC[:, None, :]  # (R, S, 3)
-    drgb = drgb_rs.reshape(rows, 3)
+        u = each(lambda p: u[p] - jnp.sum(dC[p], axis=-1, keepdims=True))
+    drgb = each(lambda p: (
+        w[p][:, :, None] * dC[p][:, None, :]).reshape(rows, 3))
 
-    uw = u * w
-    suffix = jax.lax.dot_general(uw, tril_strict, (((1,), (0,)), ((), ())),
-                                 precision=hi, preferred_element_type=f32)
-    da = u * (trans - w) - suffix  # dL/d(sigma*delta)
-    dsigma_rs = da * deltas * (sigma_raw_rs > 0.0).astype(f32)
+    uw = each(lambda p: u[p] * w[p])
+    suffix = each(lambda p: jax.lax.dot_general(
+        uw[p], tril_strict, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=f32))
+    da = each(lambda p: u[p] * (trans[p] - w[p]) - suffix[p])
+    dsigma_rs = each(lambda p: (
+        da[p] * deltas[p] * (sigma_raw_rs[p] > 0.0).astype(f32)))
 
-    # the one unsupported relayout (R,S)->(rows,1): selector matmul
-    ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 0) // S
-    colR = jax.lax.broadcasted_iota(jnp.int32, (rows, R), 1)
+    # the one unsupported relayout (Rh,S)->(rows,1): selector matmul
+    ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 0) // S
+    colR = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 1)
     E = (ray_of_row == colR).astype(f32)
     srow = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 0) % S
     colS = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
     sel = (srow == colS).astype(f32)
-    dsig_rows = jax.lax.dot_general(
-        E, dsigma_rs, (((1,), (0,)), ((), ())), precision=hi,
-        preferred_element_type=f32,
-    )  # (rows, S)
-    dsigma_col = jnp.sum(dsig_rows * sel, axis=1, keepdims=True)  # (rows, 1)
+    dsig_rows = each(lambda p: jax.lax.dot_general(
+        E, dsigma_rs[p], (((1,), (0,)), ((), ())), precision=hi,
+        preferred_element_type=f32))  # (rows, S)
+    dsigma_col = each(lambda p: jnp.sum(
+        dsig_rows[p] * sel, axis=1, keepdims=True))  # (rows, 1)
 
     # rgb head
-    drgb_raw = drgb * rgb * (1.0 - rgb)  # (rows, 3) f32
-    drgb128 = jnp.concatenate(
-        [drgb_raw, jnp.zeros((rows, 125), f32)], axis=1
-    ).astype(bf)
-    drgb_w_ref[:] += jax.lax.dot_general(
-        hv, drgb128, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    drgb_b_ref[:] += jnp.sum(drgb128.astype(f32), axis=0, keepdims=True)
-    dhv = jnp.dot(drgb128, rgb_wT[:], preferred_element_type=f32)
-    g_hv = (dhv * (hv.astype(f32) > 0.0).astype(f32)).astype(bf)
+    drgb_raw = each(lambda p: drgb[p] * rgb[p] * (1.0 - rgb[p]))
+    drgb128 = each(lambda p: jnp.concatenate(
+        [drgb_raw[p], jnp.zeros((rows, 125), f32)], axis=1).astype(bf))
+    drgb_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+        hv[p], drgb128[p], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)))
+    drgb_b_ref[:] += hsum(each(lambda p: jnp.sum(
+        drgb128[p].astype(f32), axis=0, keepdims=True)))
+    dhv = each(lambda p: jnp.dot(
+        drgb128[p], rgb_wT[:], preferred_element_type=f32))
+    g_hv = each(lambda p: (
+        dhv[p] * (hv[p].astype(f32) > 0.0).astype(f32)).astype(bf))
 
     # view head
-    dview_w_ref[:] += jax.lax.dot_general(
-        feat, g_hv, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    dview_dir_w_ref[:] += jax.lax.dot_general(
-        dv, g_hv, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    dview_b_ref[:] += jnp.sum(g_hv.astype(f32), axis=0, keepdims=True)
-    dfeat = jnp.dot(g_hv, view_wT[:], preferred_element_type=f32)  # (rows, F)
+    dview_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+        feat[p], g_hv[p], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)))
+    dview_dir_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+        dv[p], g_hv[p], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)))
+    dview_b_ref[:] += hsum(each(lambda p: jnp.sum(
+        g_hv[p].astype(f32), axis=0, keepdims=True)))
+    dfeat = each(lambda p: jnp.dot(
+        g_hv[p], view_wT[:], preferred_element_type=f32))  # (rows, F)
 
     # sigma/feature combined head (packed layout: cols 0:F feat, col F sigma)
-    dsf = jnp.concatenate(
-        [dfeat, dsigma_col, jnp.zeros((rows, 127), f32)], axis=1
-    ).astype(bf)
-    dsf_w_ref[:] += jax.lax.dot_general(
-        hs[-1], dsf, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )
-    dsf_b_ref[:] += jnp.sum(dsf.astype(f32), axis=0, keepdims=True)
-    dh = jnp.dot(dfeat.astype(bf), feat_wT[:], preferred_element_type=f32)
-    dh = dh + dsigma_col * sigma_w_row[:]  # outer-product via broadcast
+    dsf = each(lambda p: jnp.concatenate(
+        [dfeat[p], dsigma_col[p], jnp.zeros((rows, 127), f32)],
+        axis=1).astype(bf))
+    dsf_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+        hs[p][-1], dsf[p], (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)))
+    dsf_b_ref[:] += hsum(each(lambda p: jnp.sum(
+        dsf[p].astype(f32), axis=0, keepdims=True)))
+    dh = each(lambda p: jnp.dot(
+        dfeat[p].astype(bf), feat_wT[:], preferred_element_type=f32
+    ) + dsigma_col[p] * sigma_w_row[:])
 
     # trunk
     for li in range(depth - 1, -1, -1):
-        g = (dh * (hs[li].astype(f32) > 0.0).astype(f32)).astype(bf)
-        inp = hs[li - 1] if li > 0 else x
-        dw_trunk[li][:] += jax.lax.dot_general(
-            inp, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        )
+        g = each(lambda p: (
+            dh[p] * (hs[p][li].astype(f32) > 0.0).astype(f32)).astype(bf))
+        inp = each(lambda p: hs[p][li - 1] if li > 0 else x[p])
+        dw_trunk[li][:] += hsum(each(lambda p: jax.lax.dot_general(
+            inp[p], g[p], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)))
         if li == skip_layer and li > 0:
-            dskip_ref[:] += jax.lax.dot_general(
-                x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
-            )
-        db_trunk_ref[li:li + 1, :] += jnp.sum(
-            g.astype(f32), axis=0, keepdims=True
-        )
+            dskip_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+                x[p], g[p], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)))
+        db_trunk_ref[li:li + 1, :] += hsum(each(lambda p: jnp.sum(
+            g[p].astype(f32), axis=0, keepdims=True)))
         if li > 0:
-            dh = jnp.dot(g, trunk_wT[li - 1][:], preferred_element_type=f32)
+            dh = each(lambda p: jnp.dot(
+                g[p], trunk_wT[li - 1][:], preferred_element_type=f32))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "white_bg", "rays_per_block",
-                     "interpret"),
+                     "interpret", "halves"),
 )
 def fused_train_grads(
     packed: PackedWeights,
@@ -279,11 +318,15 @@ def fused_train_grads(
     white_bg: bool = False,
     rays_per_block: int = 64,
     interpret: bool = False,
+    halves: int = 1,
 ) -> TrainGrads:
     """One fused forward+backward over N rays; N % rays_per_block == 0.
 
     Returns per-ray diagnostics and PACKED weight gradients of
-    loss = mean over rays and channels of (C - gold)^2.
+    loss = mean over rays and channels of (C - gold)^2. ``halves=2``
+    interleaves two ray sub-blocks per grid step for MXU/VPU overlap
+    (same math; dW contributions of the halves are summed in registers
+    before each VMEM accumulate).
     """
     n = origins.shape[0]
     S = num_samples
@@ -342,10 +385,12 @@ def fused_train_grads(
         *[acc_spec(s.shape) for s in grad_shapes],
     )
 
+    if R % halves != 0:
+        halves = 1
     loss_scale = 1.0 / (3.0 * n)
     kernel = functools.partial(
         _train_kernel, depth, cfg.skip_layer, F, pos_pad, dir_pad, S, R,
-        white_bg, loss_scale,
+        white_bg, loss_scale, halves,
     )
     flops_row = 2 * 3 * (
         pos_pad * W + (depth - 1) * W * W + pos_pad * W + W * (F + 128)

@@ -352,6 +352,7 @@ def _whole_ray_pass(
         white_bg=cfg.render.white_background,
         rays_per_block=rays_per_block,
         interpret=_kernel_interpret(cfg),
+        halves=cfg.train.whole_ray_halves,
     )
     return unpack_grads(tg, params, cfg.model), tg
 

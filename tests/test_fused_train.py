@@ -307,3 +307,26 @@ def test_whole_ray_dp_step_matches_single_device():
             np.asarray(a), np.asarray(b), atol=2e-5,
             err_msg="sharded whole-ray step diverged from single-device",
         )
+
+
+@pytest.mark.slow
+def test_halves_interleaving_matches_single_stream():
+    """halves=2 (MXU/VPU sub-block interleaving) computes the same
+    forward outputs and gradients as the single-stream kernel — only
+    the dW summation order differs (register-sum before the VMEM
+    accumulate), so agreement is to f32 noise."""
+    params = init_nerf_params(jax.random.PRNGKey(0), CFG)
+    o, d, vd, ts, deltas, gold = _data(jax.random.PRNGKey(1))
+    packed = pack_weights(params, CFG)
+    packedT = pack_weights_t(packed, CFG)
+    tg1 = fused_train_grads(packed, packedT, o, d, vd, ts, deltas, gold,
+                            CFG, S, rays_per_block=R, interpret=True,
+                            halves=1)
+    tg2 = fused_train_grads(packed, packedT, o, d, vd, ts, deltas, gold,
+                            CFG, S, rays_per_block=R, interpret=True,
+                            halves=2)
+    for a, b in zip(jax.tree_util.tree_leaves(tg1),
+                    jax.tree_util.tree_leaves(tg2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
