@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="raw-sigma occupancy cutoff")
     common.add_argument("--occ_aabb", type=float, default=1.0,
                         help="scene AABB half-extent")
+    common.add_argument("--occ_uniform_frac", type=float, default=0.25,
+                        help="uniform floor blended into the occupancy "
+                             "PDF (0.10 = measured edge for tuned runs; "
+                             "0 collapses on sparse scenes)")
     _bool_flag(common, "use_proposal", False,
                "proposal-network sampling (mip-NeRF 360 lineage): a tiny "
                "density MLP picks the main network's samples; trained "
@@ -252,6 +256,7 @@ def config_from_args(args) -> "Config":
             occ_update_steps=args.occ_update_steps,
             occ_threshold=args.occ_threshold,
             occ_aabb=args.occ_aabb,
+            occ_uniform_frac=args.occ_uniform_frac,
         )
     return Config(
         debug=args.debug,
