@@ -251,6 +251,15 @@ class Config:
     # configs only (see train.step.whole_ray_supported).
     use_whole_ray_train: bool = False
 
+    def __post_init__(self):
+        if self.proposal.enabled and self.render.occ_res > 0:
+            raise ValueError(
+                "--use_proposal and --occ_res are mutually exclusive: "
+                "the proposal MLP and the occupancy grid are competing "
+                "sample-placement mechanisms with no defined composition "
+                "(the proposal path ignores the grid)"
+            )
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -126,3 +126,15 @@ def test_occ_update_steps_validated():
     )
     with _pytest.raises(ValueError, match="occ_update_steps"):
         config_from_args(args)
+
+
+def test_proposal_occupancy_mutually_exclusive():
+    """--use_proposal + --occ_res has no defined composition; the config
+    must say so loudly instead of silently ignoring the grid."""
+    import pytest as _pytest
+
+    args = build_parser().parse_args(
+        ["train", "--use_proposal", "true", "--occ_res", "16"]
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        config_from_args(args)
