@@ -123,14 +123,16 @@ def main():
     o, d = rays_ops.ray_grid(pose, rcam)
     render_cfg = Config(camera=rcam, render=cfg.render, train=cfg.train)
     render_fn = dp.make_dp_render(render_cfg, mesh)
-    # compile
-    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
+    # compile (render_frame's default chunk matches make_dp_render's —
+    # both are fused-aware since the whole-ray kernel became the
+    # render default)
+    rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn)
     float(jax.device_get(rgb[0, 0, 0]))
     # best of 3 (same environmental-variance defense as training)
     render_windows = []
     for _ in range(3):
         t0 = time.perf_counter()
-        rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn, chunk=65536)
+        rgb, _, _ = render_frame(render_cfg, state, o, d, mesh, render_fn)
         float(jax.device_get(rgb[-1, -1, 0]))
         render_windows.append(time.perf_counter() - t0)
     render_s = min(render_windows)

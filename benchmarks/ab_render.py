@@ -36,7 +36,7 @@ o, d = rays_ops.ray_grid(pose, rcam)
 
 
 def frame(cfg, state, fn):
-    rgb, _, _ = render_frame(cfg, state, o, d, mesh, fn, chunk=65536)
+    rgb, _, _ = render_frame(cfg, state, o, d, mesh, fn)
     return float(jax.device_get(rgb[-1, -1, 0])), rgb
 
 t0 = time.perf_counter(); vA, rgbA = frame(cfgA, stateA, fnA)

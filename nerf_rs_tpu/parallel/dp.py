@@ -178,20 +178,25 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def default_render_chunk(render_cfg) -> int:
+def default_render_chunk(render_cfg, fused: bool = False) -> int:
     """Render-chunk ray count for a fixed ray-sample memory budget.
 
-    65536 rays is the measured-good point at 64 samples (bench.py);
-    a hierarchical union pass holds (chunk, S_coarse+S_fine, width)
+    XLA path: 65536 rays is the measured-good point at 64 samples
+    (bench.py); a hierarchical union pass holds (chunk, S_c+S_f, width)
     activation temps, so the same chunk OOMs a 16 GB HBM at 64+128 —
     scale rays down as the per-ray sample total grows (standalone fine
     passes run sequentially, so their peak is the larger pass, not the
     sum). Power-of-two floored so frame paddings nest.
+
+    Fused whole-ray kernel path: per-sample activations never touch
+    HBM (only (chunk, S) weights/sigma outputs do), so the chunk can
+    be 4x larger — fewer lax.map trips per frame.
     """
     s, f = render_cfg.num_samples, render_cfg.num_fine_samples
     s_total = max(s, f) if render_cfg.fine_mode == "standalone" else s + f
-    budget = 65536 * 64  # ray-samples per chunk
-    chunk = max(4096, min(65536, budget // max(s_total, 1)))
+    mult = 4 if fused else 1
+    budget = mult * 65536 * 64  # ray-samples per chunk
+    chunk = max(4096, min(mult * 65536, budget // max(s_total, 1)))
     return 1 << (chunk.bit_length() - 1)
 
 
@@ -215,10 +220,9 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
     """
     camera = camera or cfg.camera
     dtype = step_mod._matmul_dtype(cfg)
-    if chunk <= 0:
-        chunk = default_render_chunk(cfg.render)
-
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
+    if chunk <= 0:
+        chunk = default_render_chunk(cfg.render, fused=use_fused)
 
     # occupancy grids guide RENDER sampling too: a field trained at 32
     # grid-guided samples measured 45.2 dB rendered grid-guided-192 vs

@@ -63,7 +63,12 @@ def render_frame(
     the chunk down for hierarchical sample totals (a 65536-ray union
     64+128 eval OOM'd a 16 GB chip)."""
     if chunk <= 0:
-        chunk = dp.default_render_chunk(cfg.render)
+        from ..ops.render import fused_supported
+
+        chunk = dp.default_render_chunk(
+            cfg.render,
+            fused=cfg.use_fused_kernel and fused_supported(cfg.model),
+        )
     h, w = origins.shape[:2]
     flat_o = origins.reshape(-1, 3)
     flat_d = dirs.reshape(-1, 3)
