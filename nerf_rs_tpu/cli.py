@@ -158,6 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("train", parents=[common])
 
     pr = sub.add_parser("render", parents=[common])
+    pr.add_argument("--scene_index", type=int, default=0,
+                    help="which scene of a --scenes stacked checkpoint")
     pr.add_argument("--frames", type=int, default=40, help="spherical sweep length")
     pr.add_argument("--pitch", type=float, default=math.pi / 6)
     pr.add_argument("--out_dir", default="renders")
@@ -165,6 +167,8 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(pr, "gif", False, "also write an animated sweep.gif")
 
     pe = sub.add_parser("eval", parents=[common])
+    pe.add_argument("--scene_index", type=int, default=0,
+                    help="which scene of a --scenes stacked checkpoint")
     pe.add_argument("--split", default="test", help="dataset split (blender) to evaluate")
     pe.add_argument("--max_views", type=int, default=0, help="0 = all views")
     pe.add_argument("--out_dir", default="", help="optionally dump per-view renders")
@@ -329,6 +333,42 @@ def cmd_train(args) -> int:
     return 0
 
 
+
+
+def _scene_list(args):
+    return [s for s in getattr(args, "scenes", "").split(",") if s]
+
+
+def _restore_for_inference(args, cfg, mesh):
+    """Init + weight-restore the TrainState for render/eval.
+
+    With --scenes, the checkpoint is a STACKED multi-scene state
+    (train_multiscene): restore into the stacked template and slice out
+    --scene_index. Returns (state, loaded_path_or_None).
+    """
+    import jax
+
+    from .train import checkpoint as ckpt
+    from .train.step import init_state
+
+    scenes = _scene_list(args)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    if not scenes:
+        state = init_state(key, cfg)
+        if load_path:
+            state = ckpt.restore_weights(load_path, state)
+        return state, load_path
+    from .parallel import multiscene as ms_mod
+
+    idx = getattr(args, "scene_index", 0)
+    assert 0 <= idx < len(scenes), (idx, scenes)
+    template = ms_mod.init_multiscene_state(key, cfg, len(scenes))
+    if load_path:
+        template = ckpt.restore_weights(load_path, template)
+    return ms_mod.scene_state(template, idx), load_path
+
+
 def cmd_render(args) -> int:
     import jax
 
@@ -342,15 +382,22 @@ def cmd_render(args) -> int:
 
     cfg = config_from_args(args)
     mesh = mesh_mod.make_mesh(cfg.num_devices)
-    dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
+    scenes = _scene_list(args)
+    if scenes:
+        from .train.loop import _scene_cfg
+
+        dataset = make_dataset(
+            _scene_cfg(cfg, scenes[args.scene_index]),
+            sharding=mesh_mod.replicated_sharding(mesh),
+        )
+    else:
+        dataset = make_dataset(cfg, sharding=mesh_mod.replicated_sharding(mesh))
     cfg = dataclasses.replace(cfg, camera=dataset.camera)
 
-    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
-    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    # weight-only: inference must not depend on the training run's
+    # optimizer hyperparameters (schedule changes the opt pytree)
+    state, load_path = _restore_for_inference(args, cfg, mesh)
     if load_path:
-        # weight-only: inference must not depend on the training run's
-        # optimizer hyperparameters (schedule changes the opt pytree)
-        state = ckpt.restore_weights(load_path, state)
         print(f"loaded {load_path} (step {int(state.step)})")
     else:
         print("warning: no checkpoint found; rendering an untrained field")
@@ -424,16 +471,23 @@ def cmd_eval(args) -> int:
 
     cfg = config_from_args(args)
     mesh = mesh_mod.make_mesh(cfg.num_devices)
-    dataset = make_dataset(
-        cfg, split=args.split, sharding=mesh_mod.replicated_sharding(mesh)
-    )
+    scenes = _scene_list(args)
+    if scenes:
+        from .train.loop import _scene_cfg
+
+        dataset = make_dataset(
+            _scene_cfg(cfg, scenes[args.scene_index]), split=args.split,
+            sharding=mesh_mod.replicated_sharding(mesh),
+        )
+    else:
+        dataset = make_dataset(
+            cfg, split=args.split, sharding=mesh_mod.replicated_sharding(mesh)
+        )
     cfg = dataclasses.replace(cfg, camera=dataset.camera)
-    state = init_state(jax.random.PRNGKey(cfg.train.seed), cfg)
-    load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
+    state, load_path = _restore_for_inference(args, cfg, mesh)
     if not load_path:
         print("error: no checkpoint found (use --load_path or --save_dir)")
         return 1
-    state = ckpt.restore_weights(load_path, state)
     print(f"loaded {load_path} (step {int(state.step)})")
     state = dp.place_state(state, mesh)
     render_fn = dp.make_dp_render(cfg, mesh)

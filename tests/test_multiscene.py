@@ -149,3 +149,16 @@ def test_multiscene_cli_e2e(tmp_path):
     assert rc == 0
     import os
     assert any(c.startswith("checkpoint-") for c in os.listdir(save_dir))
+
+    # per-scene inference from the STACKED checkpoint (--scene_index)
+    out_dir = str(tmp_path / "renders")
+    rc = main([
+        "render", "--scenes", "sphere,flat_sphere", "--scene_index", "1",
+        "--dataset", "sphere",
+        "--width", "24", "--height", "24", "--num_samples", "8",
+        "--num_views_per_hemisphere", "2",
+        "--save_dir", save_dir, "--precision", "f32",
+        "--view", "0", "--out_dir", out_dir,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "view-0.png"))
