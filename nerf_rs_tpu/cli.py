@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="raw-sigma occupancy cutoff")
     common.add_argument("--occ_aabb", type=float, default=1.0,
                         help="scene AABB half-extent")
+    common.add_argument("--occ_bins", type=int, default=64,
+                        help="ray bins tested against the grid per draw")
+    common.add_argument("--occ_decay", type=float, default=0.95,
+                        help="per-update EMA decay (NerfAcc default)")
     common.add_argument("--occ_uniform_frac", type=float, default=0.25,
                         help="uniform floor blended into the occupancy "
                              "PDF (0.10 = measured edge for tuned runs; "
@@ -260,6 +264,8 @@ def config_from_args(args) -> "Config":
             occ_update_steps=args.occ_update_steps,
             occ_threshold=args.occ_threshold,
             occ_aabb=args.occ_aabb,
+            occ_bins=args.occ_bins,
+            occ_decay=args.occ_decay,
             occ_uniform_frac=args.occ_uniform_frac,
         )
     return Config(
