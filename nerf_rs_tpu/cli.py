@@ -150,12 +150,15 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(common, "debug_nans", False, "enable jax_debug_nans")
     common.add_argument(
         "--preset", default="",
-        choices=["", "tiny", "full", "hierarchical", "proposal", "pod"],
+        choices=["", "tiny", "full", "hierarchical", "record", "proposal",
+                 "pod"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
              "(config 3); proposal = tiny-proposal-guided 128 samples "
              "(recommended time-to-quality config, docs/PERFORMANCE.md); "
+             "record = hierarchical + occ-guided coarse sampling (the "
+             "48.80 dB quality-record config, README); "
              "pod = DP + highest-error resampling (config 5)",
     )
 
@@ -223,6 +226,13 @@ def _apply_preset(args):
         # 24.2 (standalone) / 32.7 (union) vs 43.3 / 64.6 ms XLA on v5e
         _set(num_samples=64, num_fine_samples=128, white_background=True,
              use_whole_ray_train=True)
+    elif p == "record":
+        # the quality-record composition (round 3, README): occ-32
+        # grid (0.10 uniform floor) guides the coarse pass of the
+        # union-composited fused hierarchical chain
+        _set(num_samples=64, num_fine_samples=128, white_background=True,
+             use_whole_ray_train=True, occ_res=32, occ_aabb=1.6,
+             occ_uniform_frac=0.10)
     elif p == "proposal":
         # measured best time-to-quality (docs/PERFORMANCE.md): tiny
         # proposal picks 128 main samples, fused kernel main pass

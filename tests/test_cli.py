@@ -138,3 +138,17 @@ def test_proposal_occupancy_mutually_exclusive():
     )
     with _pytest.raises(ValueError, match="mutually exclusive"):
         config_from_args(args)
+
+
+def test_record_preset():
+    from nerf_rs_tpu.cli import explicit_dests
+
+    argv = ["train", "--preset", "record"]
+    args = build_parser().parse_args(argv)
+    args._explicit = explicit_dests(argv)
+    cfg = config_from_args(args)
+    assert cfg.render.num_fine_samples == 128
+    assert cfg.render.occ_res == 32
+    assert cfg.render.occ_aabb == 1.6
+    assert cfg.render.occ_uniform_frac == 0.10
+    assert cfg.use_whole_ray_train
