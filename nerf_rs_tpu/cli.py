@@ -235,9 +235,13 @@ def _apply_preset(args):
              occ_uniform_frac=0.10)
     elif p == "proposal":
         # measured best time-to-quality (docs/PERFORMANCE.md): tiny
-        # proposal picks 128 main samples, fused kernel main pass
+        # proposal picks 128 main samples, fused kernel main pass;
+        # 1k-step anneal is load-bearing at record scale (47.80 ->
+        # 48.30 test PSNR) — without it the sampler locks onto the
+        # half-trained field
         _set(num_samples=128, num_fine_samples=0, use_proposal=True,
-             proposal_samples=64, use_whole_ray_train=True)
+             proposal_samples=64, use_whole_ray_train=True,
+             white_background=True, proposal_anneal_steps=1000)
     elif p == "pod":
         _set(error_resample_frac=max(args.error_resample_frac, 0.5))
     return args
