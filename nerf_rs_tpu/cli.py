@@ -122,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="distinct views per batch (multiview mode)")
     common.add_argument("--prefetch", type=int, default=2,
                         help="host-pipeline buffered batches")
+    common.add_argument("--data_workers", type=int, default=1,
+                        help="parallel host assembly threads (host mode)")
     _bool_flag(common, "use_native_loader", True,
                "C++ batch assembler for host-mode gold gather")
     common.add_argument(
@@ -323,6 +325,7 @@ def config_from_args(args) -> "Config":
             views_per_batch=args.views_per_batch,
             prefetch=args.prefetch,
             use_native_loader=args.use_native_loader,
+            data_workers=args.data_workers,
         ),
         proposal=ProposalConfig(
             enabled=args.use_proposal,

@@ -216,6 +216,7 @@ class DataConfig:
     views_per_batch: int = 4  # distinct views per batch (multiview mode)
     prefetch: int = 2  # async host pipeline depth (host mode)
     use_native_loader: bool = True  # C++ batch assembler when built (host mode)
+    data_workers: int = 1  # parallel host assembly threads (host mode)
 
 
 @dataclass(frozen=True)

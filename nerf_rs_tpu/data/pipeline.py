@@ -32,7 +32,7 @@ from ..train.step import Batch
 class HostSampler:
     """Samples (view_idx, xi, yi, gold) batches from a host pixel array."""
 
-    def __init__(self, images: np.ndarray, white_background: bool, seed: int, gather_fn=None):
+    def __init__(self, images: np.ndarray, white_background: bool, seed, gather_fn=None):
         assert images.dtype == np.uint8 and images.ndim == 4
         self.images = images
         self.white_background = white_background
@@ -59,6 +59,14 @@ class PrefetchPipeline:
     Yields device-ready Batches; host sampling for batch k+1..k+depth
     overlaps device compute of batch k. Ray generation from the sampled
     indices runs on-device (jitted in the first call).
+
+    ``num_workers > 1`` assembles batches in parallel producer threads
+    (each with its own counter-derived PRNG stream, so every worker's
+    batch *sequence* is deterministic; only the interleave order across
+    workers is scheduler-dependent — fine for iid per-ray sampling).
+    Both gather paths drop the GIL for the bulk of the work (the C++
+    assembler via ctypes, numpy fancy indexing internally), so workers
+    scale on real cores.
     """
 
     def __init__(
@@ -73,6 +81,7 @@ class PrefetchPipeline:
         seed: int = 0,
         gather_fn=None,
         use_native: bool = False,
+        num_workers: int = 1,
     ):
         assert (angles is None) != (c2w is None)
         if use_native and gather_fn is None:
@@ -86,7 +95,7 @@ class PrefetchPipeline:
             images = np.concatenate(
                 [images, np.full(images.shape[:-1] + (1,), 255, np.uint8)], axis=-1
             )
-        self.sampler = HostSampler(images, white_background, seed, gather_fn)
+        assert num_workers >= 1, num_workers
         self.camera = camera
         self.num_rays = num_rays
         self.mode = "angles" if angles is not None else "c2w"
@@ -94,10 +103,21 @@ class PrefetchPipeline:
             np.asarray(angles if angles is not None else c2w, np.float32)
         )
         self.height, self.width = images.shape[1:3]
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, num_workers))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
+        # one sampler per worker: independent PRNG stream, shared
+        # read-only pixel array (no copy)
+        self._samplers = [
+            HostSampler(images, white_background, [seed, w], gather_fn)
+            for w in range(num_workers)
+        ]
+        self.sampler = self._samplers[0]  # back-compat alias
+        self._threads = [
+            threading.Thread(target=self._produce, args=(s,), daemon=True)
+            for s in self._samplers
+        ]
+        for t in self._threads:
+            t.start()
         self._ray_fn = jax.jit(self._make_rays)
 
     def _make_rays(self, view_idx, coords):
@@ -110,9 +130,9 @@ class PrefetchPipeline:
             self.camera.focal,
         )
 
-    def _produce(self):
+    def _produce(self, sampler: HostSampler):
         while not self._stop.is_set():
-            item = self.sampler.sample(self.num_rays)
+            item = sampler.sample(self.num_rays)
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.1)
@@ -131,13 +151,14 @@ class PrefetchPipeline:
 
     def close(self):
         self._stop.set()
-        # drain so the producer can observe the stop flag
+        # drain so blocked producers can observe the stop flag
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
     def __enter__(self):
         return self

@@ -378,6 +378,7 @@ def train(
             depth=cfg.data.prefetch,
             seed=cfg.train.seed,
             use_native=cfg.data.use_native_loader,
+            num_workers=cfg.data.data_workers,
         )
 
     if not cfg.do_train:

@@ -133,6 +133,30 @@ def test_prefetch_pipeline():
     assert pipe._stop.is_set()
 
 
+def test_prefetch_pipeline_parallel_workers():
+    """num_workers>1: every batch is well-formed, batches keep arriving
+    from the shared queue, and close() joins all producer threads."""
+    imgs = _toy_images()
+    with PrefetchPipeline(
+        imgs, CAM, angles=_angles(), num_rays=32, depth=2, seed=0,
+        num_workers=3,
+    ) as pipe:
+        assert len(pipe._threads) == 3
+        batches = [next(pipe) for _ in range(8)]
+        for b in batches:
+            assert b.origins.shape == (32, 3)
+            assert b.gold.shape == (32, 3)
+        # iid draws from distinct per-worker streams: no two batches
+        # identical
+        golds = [np.asarray(b.gold) for b in batches]
+        for i in range(len(golds)):
+            for j in range(i + 1, len(golds)):
+                assert not np.allclose(golds[i], golds[j])
+    assert pipe._stop.is_set()
+    for t in pipe._threads:
+        assert not t.is_alive()
+
+
 def test_make_dataset_process_shard_partitions_views():
     """Multi-host pixel-store sharding (SURVEY §5.8 plan): each process
     slice is disjoint, nonempty, and the slices union to the full view
