@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                "num_fine_samples=0)")
     common.add_argument("--proposal_samples", type=int, default=64,
                         help="uniform samples the proposal MLP evaluates")
+    common.add_argument("--proposal_levels", type=int, default=1,
+                        help="resampling rounds through the shared "
+                             "proposal MLP (mip-NeRF 360 runs 2); the "
+                             "interlevel loss sums over levels")
     common.add_argument("--proposal_depth", type=int, default=4)
     common.add_argument("--proposal_width", type=int, default=64)
     common.add_argument("--proposal_anneal_steps", type=int, default=0,
@@ -126,6 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="parallel host assembly threads (host mode)")
     _bool_flag(common, "use_native_loader", True,
                "C++ batch assembler for host-mode gold gather")
+    _bool_flag(common, "shard_pixel_store", False,
+               "shard the pixel store's view axis over the device mesh "
+               "(pod stores beyond one device/host's memory; per_ray "
+               "batch mode)")
     common.add_argument(
         "--scenes", default="",
         help="comma-separated scene list for multi-scene pod training "
@@ -326,10 +334,12 @@ def config_from_args(args) -> "Config":
             prefetch=args.prefetch,
             use_native_loader=args.use_native_loader,
             data_workers=args.data_workers,
+            shard_pixel_store=args.shard_pixel_store,
         ),
         proposal=ProposalConfig(
             enabled=args.use_proposal,
             num_samples=args.proposal_samples,
+            num_levels=args.proposal_levels,
             net_depth=args.proposal_depth,
             net_width=args.proposal_width,
             anneal_steps=args.proposal_anneal_steps,

@@ -137,6 +137,14 @@ class ProposalConfig:
 
     enabled: bool = False
     num_samples: int = 64  # uniform samples the proposal evaluates
+    # Resampling rounds through the ONE shared proposal MLP (multinerf
+    # keeps a single PropMLP across its two proposal levels; separate
+    # nets buy nothing at this scene scale but double the params).
+    # Level 0 evaluates the uniform ts; each further level re-evaluates
+    # the proposal at num_samples points drawn from the previous
+    # histogram; the main MLP samples from the LAST histogram. The
+    # interlevel bound loss is summed over every level.
+    num_levels: int = 1
     net_depth: int = 4
     net_width: int = 64
     pos_enc_levels: int = 10
@@ -214,6 +222,13 @@ class DataConfig:
     #                 For pixel stores too large for HBM.
     batch_mode: str = "per_ray"
     views_per_batch: int = 4  # distinct views per batch (multiview mode)
+    # Shard the pixel store's VIEW axis over the data mesh instead of
+    # replicating it: each device holds views/ndev views and samples
+    # rays only from its local slice (iid per-ray draws over equal
+    # slices == union sampling), so pod pixel stores scale past one
+    # device's (and one host's) memory. per_ray batch mode only; view
+    # counts are truncated to a multiple of the device count.
+    shard_pixel_store: bool = False
     prefetch: int = 2  # async host pipeline depth (host mode)
     use_native_loader: bool = True  # C++ batch assembler when built (host mode)
     data_workers: int = 1  # parallel host assembly threads (host mode)

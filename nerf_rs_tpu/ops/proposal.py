@@ -55,6 +55,15 @@ def proposal_weights(
     return weights_from_sigma(sigma_p, deltas), edges_from_ts(ts_p)
 
 
+def anneal_weights(w: jnp.ndarray, anneal) -> jnp.ndarray:
+    """mip-NeRF 360 resampling annealing: exponentiate DRAW weights by
+    ``anneal`` in (0, 1] (None = off). Applied per level; the interlevel
+    loss always sees the raw histogram."""
+    if anneal is None:
+        return w
+    return jnp.power(jnp.maximum(w, 1e-7), anneal)
+
+
 def proposal_resample(
     key: jax.Array,
     origins: jnp.ndarray,
@@ -66,27 +75,46 @@ def proposal_resample(
     randomized: bool,
     dtype=None,
     anneal=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Main-network sample distances guided by the proposal:
-    (ts_main (..., F) sorted, prop edges (..., P+1), prop weights
-    (..., P)). The draw stop-grads the weights (sampling positions are
-    not a gradient path; the interlevel loss is). ``anneal`` (scalar in
-    (0, 1], mip-NeRF 360) exponentiates the RESAMPLING weights only —
-    the interlevel loss still sees the raw histogram."""
-    kp, km = jax.random.split(key)
+) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]]:
+    """Main-network sample distances guided by ``pcfg.num_levels``
+    rounds of resampling through the one shared proposal MLP:
+    (ts_main (..., F) sorted, hists) where ``hists`` is one
+    (edges (..., P+1), weights (..., P)) pair per level — weights carry
+    gradients to prop_params; feed every pair to the interlevel loss
+    (multi_interlevel_loss). Each draw stop-grads the weights (sampling
+    positions are not a gradient path; the interlevel loss is), so
+    level-(l+1) positions are constants w.r.t. prop_params."""
+    keys = jax.random.split(key, pcfg.num_levels + 1)
     n = origins.shape[0]
-    ts_p = sampling.stratified_ts(
-        kp, n, pcfg.num_samples, camera.near, camera.far, randomized
+    ts = sampling.stratified_ts(
+        keys[0], n, pcfg.num_samples, camera.near, camera.far, randomized
     )
-    w_p, bins_p = proposal_weights(
-        prop_params, origins, dirs, ts_p, pcfg, camera.far, dtype
-    )
-    w_draw = jax.lax.stop_gradient(w_p)
-    if anneal is not None:
-        w_draw = jnp.power(jnp.maximum(w_draw, 1e-7), anneal)
-    ts_m = sampling.sample_pdf(km, bins_p, w_draw, num_main_samples,
-                               randomized)
-    return ts_m, bins_p, w_p
+    hists = []
+    for lvl in range(pcfg.num_levels):
+        w, bins = proposal_weights(
+            prop_params, origins, dirs, ts, pcfg, camera.far, dtype
+        )
+        hists.append((bins, w))
+        w_draw = anneal_weights(jax.lax.stop_gradient(w), anneal)
+        last = lvl == pcfg.num_levels - 1
+        ts = sampling.sample_pdf(
+            keys[lvl + 1], bins, w_draw,
+            num_main_samples if last else pcfg.num_samples, randomized,
+        )
+    return ts, tuple(hists)
+
+
+def multi_interlevel_loss(
+    main_edges: jnp.ndarray,
+    w_main: jnp.ndarray,
+    hists,
+) -> jnp.ndarray:
+    """Sum of the interlevel bound loss over every proposal level's
+    (edges, weights) histogram (mip-NeRF 360 applies it per level)."""
+    total = 0.0
+    for bins, w in hists:
+        total = total + interlevel_loss(main_edges, w_main, bins, w)
+    return total
 
 
 def interlevel_loss(

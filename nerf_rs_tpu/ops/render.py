@@ -151,7 +151,7 @@ def render_rays(
     if prop_params is not None and not render_cfg.compat_sampling:
         from . import proposal as prop_ops
 
-        ts, _, _ = prop_ops.proposal_resample(
+        ts, _ = prop_ops.proposal_resample(
             k_coarse, flat_o, flat_d, prop_params, prop_cfg,
             render_cfg.num_samples, camera, rand, dtype,
         )

@@ -137,12 +137,6 @@ def _prop_anneal(cfg: Config, step):
     return s * x / ((s - 1.0) * x + 1.0)
 
 
-def _anneal_weights(w, anneal):
-    if anneal is None:
-        return w
-    return jnp.power(jnp.maximum(w, 1e-7), anneal)
-
-
 def loss_fn(
     trainable,
     batch: Batch,
@@ -214,7 +208,7 @@ def _proposal_loss(
 
     dtype = _matmul_dtype(cfg)
     kn = jax.random.fold_in(key, 11)
-    ts_m, bins_p, w_p = prop_ops.proposal_resample(
+    ts_m, hists = prop_ops.proposal_resample(
         key, batch.origins, batch.dirs, prop_params, cfg.proposal,
         cfg.render.num_samples, cfg.camera, cfg.render.randomized, dtype,
         anneal=_prop_anneal(cfg, step),
@@ -240,8 +234,8 @@ def _proposal_loss(
     else:
         rgb_m, w_m = main_weights_fn(ts_m)
     loss_photo = render.mse(rgb_m[..., :3], gold_rgb)
-    loss_il = prop_ops.interlevel_loss(
-        prop_ops.edges_from_ts(ts_m), w_m, bins_p, w_p
+    loss_il = prop_ops.multi_interlevel_loss(
+        prop_ops.edges_from_ts(ts_m), w_m, hists
     )
     loss = loss_photo + cfg.proposal.loss_mult * loss_il
     aux = {
@@ -268,22 +262,44 @@ def _whole_ray_proposal_grads(
 
     params, prop_params = trainable
     dtype = _matmul_dtype(cfg)
-    kp, km = jax.random.split(key)
     n = batch.origins.shape[0]
-    ts_p = sampling.stratified_ts(
-        kp, n, cfg.proposal.num_samples, cfg.camera.near, cfg.camera.far,
-        cfg.render.randomized,
-    )
-    (w_p, bins_p), prop_vjp = jax.vjp(
-        lambda pp: prop_ops.proposal_weights(
-            pp, batch.origins, batch.dirs, ts_p, cfg.proposal,
-            cfg.camera.far, dtype,
-        ),
-        prop_params,
-    )
+    pcfg = cfg.proposal
+    anneal = _prop_anneal(cfg, step)
+    # key schedule MUST match ops/proposal.proposal_resample exactly —
+    # test_whole_ray_proposal_grads_match_xla asserts this path and the
+    # XLA path draw identical samples from the same key
+    keys = jax.random.split(key, pcfg.num_levels + 1)
+
+    def hists_fn(pp):
+        """All proposal-level histograms — the one function whose vjp
+        carries every gradient the proposal receives (draw positions
+        are stop-gradded per mip-NeRF 360, so nothing leaks around it).
+        """
+        ts = sampling.stratified_ts(
+            keys[0], n, pcfg.num_samples, cfg.camera.near,
+            cfg.camera.far, cfg.render.randomized,
+        )
+        hists = []
+        for lvl in range(pcfg.num_levels):
+            w, bins = prop_ops.proposal_weights(
+                pp, batch.origins, batch.dirs, ts, pcfg,
+                cfg.camera.far, dtype,
+            )
+            hists.append((w, bins))
+            if lvl < pcfg.num_levels - 1:
+                ts = sampling.sample_pdf(
+                    keys[lvl + 1], bins,
+                    prop_ops.anneal_weights(jax.lax.stop_gradient(w),
+                                            anneal),
+                    pcfg.num_samples, cfg.render.randomized,
+                )
+        return tuple(hists)
+
+    hists, prop_vjp = jax.vjp(hists_fn, prop_params)
+    w_last, bins_last = hists[-1]
     ts_m = sampling.sample_pdf(
-        km, bins_p,
-        _anneal_weights(jax.lax.stop_gradient(w_p), _prop_anneal(cfg, step)),
+        keys[pcfg.num_levels], bins_last,
+        prop_ops.anneal_weights(jax.lax.stop_gradient(w_last), anneal),
         cfg.render.num_samples, cfg.render.randomized,
     )
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
@@ -291,11 +307,16 @@ def _whole_ray_proposal_grads(
     loss_photo = jnp.mean(tg.diag[:, 4])
 
     main_edges = prop_ops.edges_from_ts(ts_m)
-    loss_il, dw_p = jax.value_and_grad(
-        lambda w: prop_ops.interlevel_loss(main_edges, tg.weights, bins_p, w)
-    )(w_p)
-    (grads_p,) = prop_vjp((cfg.proposal.loss_mult * dw_p,
-                           jnp.zeros_like(bins_p)))
+    loss_il, dws = jax.value_and_grad(
+        lambda ws: prop_ops.multi_interlevel_loss(
+            main_edges, tg.weights,
+            [(bins, w) for w, (_, bins) in zip(ws, hists)],
+        )
+    )(tuple(w for w, _ in hists))
+    (grads_p,) = prop_vjp(tuple(
+        (cfg.proposal.loss_mult * dw, jnp.zeros_like(bins))
+        for dw, (_, bins) in zip(dws, hists)
+    ))
     aux = {
         "loss": loss_photo + cfg.proposal.loss_mult * loss_il,
         "loss_coarse": loss_photo,

@@ -21,7 +21,7 @@ from nerf_rs_tpu.train.step import (
 KEY = jax.random.PRNGKey(0)
 
 
-def _cfg(**kw):
+def _cfg(num_levels=1, **kw):
     small_model = ModelConfig(
         net_depth=2, net_width=32, skip_layer=1, feature_width=32,
         view_head_width=16, pos_enc_levels=4, dir_enc_levels=2,
@@ -31,8 +31,8 @@ def _cfg(**kw):
         model=kw.pop("model", small_model),
         render=RenderConfig(num_samples=16),
         proposal=ProposalConfig(
-            enabled=True, num_samples=16, net_depth=2, net_width=16,
-            pos_enc_levels=4,
+            enabled=True, num_samples=16, num_levels=num_levels,
+            net_depth=2, net_width=16, pos_enc_levels=4,
         ),
         train=TrainConfig(num_rays=64, precision="f32", learning_rate=2e-3),
         **kw,
@@ -88,13 +88,48 @@ def test_proposal_resample_sorted_in_range():
     pp = init_proposal_params(KEY, pcfg)
     b = _batch(32)
     cam = CameraConfig(width=16, height=16)
-    ts, bins, w = prop_ops.proposal_resample(
+    ts, hists = prop_ops.proposal_resample(
         KEY, b.origins, b.dirs, pp, pcfg, 24, cam, True
     )
     assert ts.shape == (32, 24)
     assert bool(jnp.all(jnp.diff(ts, axis=-1) >= 0))
     assert bool(jnp.all((ts >= cam.near) & (ts <= cam.far)))
+    assert len(hists) == 1
+    (bins, w), = hists
     assert bins.shape == (32, 17) and w.shape == (32, 16)
+
+
+def test_proposal_resample_two_levels():
+    """num_levels=2 (mip-NeRF 360's count): two histograms, both
+    differentiable to the shared params; final ts valid + sorted."""
+    pcfg = ProposalConfig(num_samples=16, num_levels=2, net_depth=2,
+                          net_width=16, pos_enc_levels=4)
+    pp = init_proposal_params(KEY, pcfg)
+    b = _batch(32)
+    cam = CameraConfig(width=16, height=16)
+    ts, hists = prop_ops.proposal_resample(
+        KEY, b.origins, b.dirs, pp, pcfg, 24, cam, True
+    )
+    assert ts.shape == (32, 24)
+    assert bool(jnp.all(jnp.diff(ts, axis=-1) >= 0))
+    assert bool(jnp.all((ts >= cam.near) & (ts <= cam.far)))
+    assert len(hists) == 2
+    for bins, w in hists:
+        assert bins.shape == (32, 17) and w.shape == (32, 16)
+        assert bool(jnp.all(jnp.diff(bins, axis=-1) >= 0))
+
+    # grads reach the shared proposal MLP through BOTH levels' weights
+    def lvl_weight_sum(p, lvl):
+        _, hs = prop_ops.proposal_resample(
+            KEY, b.origins, b.dirs, p, pcfg, 24, cam, False
+        )
+        return jnp.sum(hs[lvl][1])
+
+    for lvl in range(2):
+        g = jax.grad(lvl_weight_sum)(pp, lvl)
+        gmax = max(float(jnp.abs(x).max())
+                   for x in jax.tree_util.tree_leaves(g))
+        assert gmax > 0.0, lvl
 
 
 def test_init_state_builds_proposal_net():
@@ -113,8 +148,9 @@ def test_proposal_rejects_hierarchical():
         init_state(KEY, cfg)
 
 
-def test_proposal_training_reduces_photometric_loss():
-    cfg = _cfg()
+@pytest.mark.parametrize("num_levels", [1, 2])
+def test_proposal_training_reduces_photometric_loss(num_levels):
+    cfg = _cfg(num_levels=num_levels)
     state = init_state(KEY, cfg)
     b = _batch()
     first = None
@@ -159,9 +195,10 @@ def test_interlevel_signal_trains_proposal_toward_fixed_main():
     assert l1 < 0.9 * l0, (l0, l1)
 
 
-def test_whole_ray_proposal_grads_match_xla():
+@pytest.mark.parametrize("num_levels", [1, 2])
+def test_whole_ray_proposal_grads_match_xla(num_levels):
     model = ModelConfig()  # fused kernel needs the flagship arch
-    cfg = _cfg(model=model, use_whole_ray_train=True)
+    cfg = _cfg(num_levels=num_levels, model=model, use_whole_ray_train=True)
     cfg = cfg.replace(
         render=RenderConfig(num_samples=16),
         train=TrainConfig(num_rays=32, precision="f32"),
