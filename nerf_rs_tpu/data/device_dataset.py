@@ -173,7 +173,18 @@ class DeviceDataset:
         self.camera = camera
         self.white_background = white_background
         self.mode = "angles" if angles is not None else "c2w"
-        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
+        if sharding is None:
+            put = jnp.asarray
+        elif jax.process_count() > 1 and not sharding.is_fully_replicated:
+            # view-sharded store across hosts: each process contributes
+            # its local view slice to ONE global array whose view axis
+            # is laid out over the whole mesh (the device form of the
+            # process_shard slicing in data/factory.py)
+            put = lambda x: jax.make_array_from_process_local_data(
+                sharding, x
+            )
+        else:
+            put = lambda x: jax.device_put(x, sharding)
         # host copies feed the async PrefetchPipeline (batch_mode="host")
         # without a device round-trip
         self.host_images = images

@@ -23,6 +23,7 @@ def make_dataset(
     split: str = "train",
     sharding=None,
     process_shard=None,
+    local_multiple: int = 1,
 ) -> DeviceDataset:
     """Build the on-device dataset for ``cfg``.
 
@@ -33,23 +34,32 @@ def make_dataset(
     of replicating. Per-ray batches draw (view, x, y) iid, so each
     process sampling its local slice is statistically the same as every
     process sampling the union.
+
+    ``local_multiple``: additionally truncate the (per-process) view
+    count to a multiple of this — the device-sharded pixel store
+    (DataConfig.shard_pixel_store) needs the view axis to divide evenly
+    over each process's devices.
     """
 
     def _slice(*arrays):
-        if process_shard is None:
-            return arrays
-        idx, count = process_shard
-        assert 0 <= idx < count, (idx, count)
         n = arrays[0].shape[0]
-        # Truncate every process to the SAME per-process length: with
-        # n % count != 0, a[idx::count] gives hosts different-shaped
-        # stores, and a global-mesh jit program then compiles mismatched
-        # executables across processes (hang/crash). Dropping the last
-        # n % count views is statistically harmless — per-ray batches
-        # sample (view, x, y) iid.
-        per = n // count
+        if process_shard is None:
+            per, idx, count = n, 0, 1
+        else:
+            idx, count = process_shard
+            assert 0 <= idx < count, (idx, count)
+            # Truncate every process to the SAME per-process length:
+            # with n % count != 0, a[idx::count] gives hosts
+            # different-shaped stores, and a global-mesh jit program
+            # then compiles mismatched executables across processes
+            # (hang/crash). Dropping the last n % count views is
+            # statistically harmless — per-ray batches sample
+            # (view, x, y) iid.
+            per = n // count
+        per -= per % max(local_multiple, 1)
         assert per > 0, (
-            f"process {idx}/{count} got no views — fewer views than hosts"
+            f"process {idx}/{count} got no views — fewer than "
+            f"{local_multiple} views per process's devices"
         )
         return tuple(a[idx::count][:per] for a in arrays)
 

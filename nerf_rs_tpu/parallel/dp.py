@@ -24,7 +24,8 @@ from ..train.step import Batch, TrainState
 from .mesh import DATA_AXIS, batch_sharding, num_shards, replicated_sharding
 
 
-def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
+def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
+                       shard_store: bool = False):
     """Build the jitted DP train step.
 
     Without ``dataset``: (state, batch, key) -> (state, aux); the batch
@@ -35,6 +36,13 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
     iteration whose pipeline bubbles cost ~4 ms once the fused kernel
     brought the step under 10 ms (measured 14.4 -> ~9 ms on v5e).
     aux then carries "batch_idx" (sharded) for diagnostics.
+
+    ``shard_store``: the dataset's images/pose_data arrive sharded on
+    the VIEW axis over the data mesh (DataConfig.shard_pixel_store) —
+    each shard samples rays only from its local views (equal-size
+    slices + iid draws == union sampling) and no view data moves over
+    ICI. batch_idx stays GLOBAL: local view ids are offset by the
+    shard's view base, so error stores/diagnostics see one namespace.
 
     state is replicated. Grad psum happens inside shard_map; Adam runs
     redundantly-replicated (cheap: ~600k params) so no parameter
@@ -58,8 +66,18 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
         from ..data.device_dataset import _sample_per_ray
 
         per_shard = (cfg.train.num_rays + nshards - 1) // nshards
+        # dataset.num_views is the PROCESS-local view count; per-shard
+        # sampling sees the full store when replicated, or its
+        # global/nshards view block when the store is view-sharded
+        global_views = dataset.num_views * jax.process_count()
+        if shard_store and not single:
+            assert global_views % nshards == 0, (global_views, nshards)
+            shard_views = global_views // nshards
+        else:
+            shard_store = False
+            shard_views = dataset.num_views
         ds_meta = (dataset.mode, dataset.white_background, dataset.camera,
-                   dataset.height, dataset.width, dataset.num_views)
+                   dataset.height, dataset.width, shard_views)
 
     def _local_grads(trainable, batch: Batch, key: jax.Array, grid=None,
                      step=None):
@@ -132,6 +150,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
                 images, pose_data, jax.random.fold_in(k, 0), per_shard,
                 mode, white_bg, camera, h, w, nviews,
             )
+            if shard_store:
+                # local -> global pixel ids (view block base per shard)
+                batch = batch._replace(
+                    idx=batch.idx + _axis_index() * (nviews * h * w)
+                )
             trainable = step_mod._trainable(state, cfg)
             grads, aux = _local_grads(
                 trainable, batch, jax.random.fold_in(k, 1), state.grid,
@@ -157,10 +180,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None):
             return jax.jit(_step_sampling, donate_argnums=(0,))
         spec = dict(aux_spec)
         spec["batch_idx"] = P(DATA_AXIS)
+        store_spec = P(DATA_AXIS) if shard_store else P()
         sharded = jax.shard_map(
             _step_sampling,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
+            in_specs=(P(), store_spec, store_spec, P()),
             out_specs=(P(), spec),
             check_vma=False,
         )

@@ -82,6 +82,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def view_sharding(mesh: Mesh) -> NamedSharding:
+    """Pixel store sharded on its leading (view) axis — the
+    DataConfig.shard_pixel_store layout."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def num_shards(mesh: Mesh) -> int:
     return mesh.shape[DATA_AXIS]
 

@@ -294,16 +294,40 @@ def train(
     primary = dist_init.is_primary()
     mesh = mesh_mod.make_mesh(cfg.num_devices)
     nchips = mesh_mod.num_shards(mesh)
+    # per-ray mode with no error-resampling: fuse batch sampling INTO
+    # the jitted step (one dispatch/iter; the separate sample+place
+    # dispatches cost ~4 ms of pipeline bubbles under the fused kernel)
+    fused_sampling = (
+        cfg.train.error_resample_frac <= 0
+        and cfg.data.batch_mode == "per_ray"
+    )
+    # view-sharded pixel store (DataConfig.shard_pixel_store): each
+    # DEVICE holds views/ndev views and samples locally — pod stores
+    # scale past one device/host's memory. Needs in-step sampling.
+    shard_store = cfg.data.shard_pixel_store and nchips > 1
+    if cfg.data.shard_pixel_store and not fused_sampling:
+        print("shard_pixel_store ignored: needs batch_mode=per_ray "
+              "with no error resampling (store stays replicated)")
+        shard_store = False
     if dataset is None:
         # multi-host: each process stores a disjoint view slice of the
         # pixel store (per-ray batches sample iid, so local-slice
         # sampling == union sampling; see data/factory.make_dataset)
         nproc = jax.process_count()
         shard = (jax.process_index(), nproc) if nproc > 1 else None
-        dataset = make_dataset(
-            cfg, sharding=mesh_mod.replicated_sharding(mesh),
-            process_shard=shard,
+        store_sharding = (
+            mesh_mod.view_sharding(mesh) if shard_store
+            else mesh_mod.replicated_sharding(mesh)
         )
+        dataset = make_dataset(
+            cfg, sharding=store_sharding, process_shard=shard,
+            local_multiple=nchips // jax.process_count() if shard_store
+            else 1,
+        )
+    elif shard_store:
+        # caller-provided dataset: honor the flag only if its store
+        # actually arrived view-sharded
+        shard_store = not dataset.images.sharding.is_fully_replicated
     if eval_dataset is None and cfg.data.dataset == "blender":
         # held-out split for the PSNR of record (BASELINE: test PSNR)
         try:
@@ -331,15 +355,9 @@ def train(
         print(f"resumed from {load_path} at step {int(state.step)}")
     state = dp.place_state(state, mesh)
 
-    # per-ray mode with no error-resampling: fuse batch sampling INTO
-    # the jitted step (one dispatch/iter; the separate sample+place
-    # dispatches cost ~4 ms of pipeline bubbles under the fused kernel)
-    fused_sampling = (
-        cfg.train.error_resample_frac <= 0
-        and cfg.data.batch_mode == "per_ray"
-    )
     step_fn = dp.make_dp_train_step(
-        cfg, mesh, dataset=dataset if fused_sampling else None
+        cfg, mesh, dataset=dataset if fused_sampling else None,
+        shard_store=shard_store,
     )
     render_fn = dp.make_dp_render(cfg, mesh)
 

@@ -1,0 +1,129 @@
+"""View-sharded pixel store (DataConfig.shard_pixel_store): each device
+holds views/ndev views of the store and samples rays only from its
+local slice inside shard_map — the pod-scale store layout (SURVEY §5.8
+rebuild plan; the reference loads all PNGs into one process's RAM,
+src/main.rs:41). 8 virtual CPU devices via conftest."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerf_rs_tpu.config import (
+    CameraConfig, Config, DataConfig, ModelConfig, RenderConfig,
+    TrainConfig,
+)
+from nerf_rs_tpu.data import synthetic
+from nerf_rs_tpu.data.device_dataset import DeviceDataset
+from nerf_rs_tpu.data.factory import make_dataset
+from nerf_rs_tpu.ops import rays as rays_ops
+from nerf_rs_tpu.parallel import dp, mesh as mesh_mod
+from nerf_rs_tpu.train.loop import train
+from nerf_rs_tpu.train.step import init_state
+
+
+def _cfg(**kw):
+    kw.setdefault("render", RenderConfig(num_samples=16))
+    kw.setdefault("train", TrainConfig(num_rays=256, precision="f32"))
+    return Config(
+        camera=CameraConfig(width=16, height=16),
+        model=ModelConfig(net_depth=2, net_width=32, skip_layer=1,
+                          feature_width=32, view_head_width=16,
+                          pos_enc_levels=4, dir_enc_levels=2),
+        **kw,
+    )
+
+
+def _sharded_dataset(cfg, mesh, n_views=80):
+    imgs = np.asarray(synthetic.sphere_scene_images(cfg.camera, n_views))
+    angles = np.asarray(rays_ops.view_angle_grid(6))[:n_views]
+    return DeviceDataset(
+        imgs, cfg.camera, angles=angles,
+        sharding=mesh_mod.view_sharding(mesh),
+    )
+
+
+def test_store_is_actually_sharded():
+    cfg = _cfg()
+    mesh = mesh_mod.make_mesh()
+    ds = _sharded_dataset(cfg, mesh)
+    assert not ds.images.sharding.is_fully_replicated
+    # each of the 8 devices holds exactly 10 of the 80 views
+    for s in ds.images.addressable_shards:
+        assert s.data.shape == (10, 16, 16, 4)
+    for s in ds.pose_data.addressable_shards:
+        assert s.data.shape == (10, 2)
+
+
+def test_sharded_store_step_replicated_params_and_global_idx():
+    cfg = _cfg()
+    mesh = mesh_mod.make_mesh()
+    ds = _sharded_dataset(cfg, mesh)
+    state = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), mesh)
+    fn = dp.make_dp_train_step(cfg, mesh, dataset=ds, shard_store=True)
+    state, aux = fn(state, ds.images, ds.pose_data, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(jax.device_get(state.step)) == 1
+    # params must come back bitwise-identical on every device (psum'd
+    # grads + replicated Adam)
+    w = state.params["trunk"][0]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # batch_idx is GLOBAL: shard k's rays index only views
+    # [k*10, (k+1)*10) -> pixel ids in [k, k+1) * 10*H*W
+    idx = np.asarray(jax.device_get(aux["batch_idx"]))
+    per_shard = idx.shape[0] // 8
+    block = 10 * 16 * 16
+    for k in range(8):
+        seg = idx[k * per_shard:(k + 1) * per_shard]
+        assert seg.min() >= k * block and seg.max() < (k + 1) * block, k
+
+
+def test_sharded_store_training_converges():
+    """Local-slice sampling must train as well as the replicated store:
+    loss drops clearly within 60 steps on the sphere scene."""
+    cfg = _cfg(train=TrainConfig(num_rays=256, precision="f32",
+                                 learning_rate=5e-3))
+    mesh = mesh_mod.make_mesh()
+    ds = _sharded_dataset(cfg, mesh)
+    state = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), mesh)
+    fn = dp.make_dp_train_step(cfg, mesh, dataset=ds, shard_store=True)
+    losses = []
+    for i in range(60):
+        state, aux = fn(state, ds.images, ds.pose_data,
+                        jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(aux["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+
+
+def test_factory_local_multiple_truncates():
+    cfg = _cfg(data=DataConfig(dataset="sphere",
+                               num_views_per_hemisphere=6))
+    mesh = mesh_mod.make_mesh()
+    # 84 hemisphere views don't divide over 8 devices: truncate to 80
+    ds = make_dataset(cfg, sharding=mesh_mod.view_sharding(mesh),
+                      local_multiple=8)
+    assert ds.num_views == 80
+    # default path unchanged
+    ds_full = make_dataset(cfg)
+    assert ds_full.num_views == 84
+
+
+@pytest.mark.slow
+def test_shard_pixel_store_e2e_through_train(tmp_path):
+    """The --shard_pixel_store flag drives the sharded layout through
+    train(): 12 sphere views truncate to 8, one per device."""
+    cfg = _cfg(
+        train=TrainConfig(num_rays=64, num_iter=4, precision="f32",
+                          eval_steps=100, logging_steps=2, save_steps=100),
+        render=RenderConfig(num_samples=8),
+        data=DataConfig(dataset="sphere", num_views_per_hemisphere=2,
+                        shard_pixel_store=True),
+        log_dir=str(tmp_path / "logs"),
+        save_dir=str(tmp_path / "ckpt"),
+        eval_on_train=True,
+    )
+    state = train(cfg)
+    assert int(state.step) == 4
