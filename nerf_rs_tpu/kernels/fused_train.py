@@ -78,8 +78,10 @@ class TrainGrads(NamedTuple):
     d_trunk_w: Tuple[jnp.ndarray, ...]
     d_skip_w: jnp.ndarray
     d_trunk_b: jnp.ndarray  # (depth, W) stacked
-    d_sf_w: jnp.ndarray  # (W, F+128)
-    d_sf_b: jnp.ndarray  # (1, F+128)
+    d_feat_w: jnp.ndarray  # (W, F)
+    d_feat_b: jnp.ndarray  # (1, F)
+    d_sigma_w_row: jnp.ndarray  # (1, W) — transpose of the (W,1) param
+    d_sigma_b: jnp.ndarray  # (1, 128), every lane = the total
     d_view_w: jnp.ndarray
     d_view_dir_w: jnp.ndarray
     d_view_b: jnp.ndarray
@@ -126,8 +128,9 @@ def _train_kernel(
     dw_trunk = grad_refs[:depth]
     dskip_ref = grad_refs[depth]
     db_trunk_ref = grad_refs[depth + 1]
-    (dsf_w_ref, dsf_b_ref, dview_w_ref, dview_dir_w_ref, dview_b_ref,
-     drgb_w_ref, drgb_b_ref) = grad_refs[depth + 2:]
+    (dfeat_w_ref, dfeat_b_ref, dsigma_w_ref, dsigma_b_ref, dview_w_ref,
+     dview_dir_w_ref, dview_b_ref, drgb_w_ref, drgb_b_ref
+     ) = grad_refs[depth + 2:]
 
     is_first = pl.program_id(0) == 0
 
@@ -172,6 +175,14 @@ def _train_kernel(
         for p in range(H):
             hs[p].append(h[p])
 
+    # sigma/feature head forward: one combined (W, F+128) matmul —
+    # sigma rides the feature matmul's padding block, and the
+    # slice->reshape below is the one known-good route to a concrete
+    # (Rh, S) layout (a VPU lane-reduce dot was tried instead and its
+    # (rows,1) result carries a lane-REPLICATED layout Mosaic cannot
+    # reshape to (Rh, S): "Invalid relayout ... replicated in
+    # destination but not in source"). The padding tax is paid once,
+    # forward only — the backward splits the head (below).
     sf = each(lambda p: jnp.dot(
         h[p], sf_w[:], preferred_element_type=f32) + sf_b[:])
     sigma_raw_rs = each(lambda p: sf[p][:, F:F + 1].reshape(Rh, S))
@@ -228,7 +239,13 @@ def _train_kernel(
     dsigma_rs = each(lambda p: (
         da[p] * deltas[p] * (sigma_raw_rs[p] > 0.0).astype(f32)))
 
-    # the one unsupported relayout (Rh,S)->(rows,1): selector matmul
+    # the one unsupported relayout (Rh,S)->(rows,1): selector matmul.
+    # A broadcast+lane-mask alternative (expand dsigma to (Rh,S,S),
+    # reshape, one-hot pick) was tried — its Mosaic compile ran >13 min
+    # without finishing (the (Rh,S,S) broadcast is NOT the free
+    # leading-dim pattern of the point expansion; minor dim 3 vs S).
+    # The two HIGHEST-precision matmuls below compile in seconds and
+    # cost ~0.8 GFLOP-equiv per block.
     ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 0) // S
     colR = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 1)
     E = (ray_of_row == colR).astype(f32)
@@ -267,17 +284,28 @@ def _train_kernel(
     dfeat = each(lambda p: jnp.dot(
         g_hv[p], view_wT[:], preferred_element_type=f32))  # (rows, F)
 
-    # sigma/feature combined head (packed layout: cols 0:F feat, col F sigma)
-    dsf = each(lambda p: jnp.concatenate(
-        [dfeat[p], dsigma_col[p], jnp.zeros((rows, 127), f32)],
-        axis=1).astype(bf))
-    dsf_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
-        hs[p][-1], dsf[p], (((0,), (0,)), ((), ())),
+    # sigma/feature head backward, split like the forward: the feature
+    # dW is a clean (W, F) matmul; sigma's dW is a VPU sublane-reduce
+    # of h ⊙ dsigma (emitted as the (1, W) row — the (W, 1) transpose
+    # is done outside the kernel where relayout is free).
+    dfeat_bf = each(lambda p: dfeat[p].astype(bf))
+    dfeat_w_ref[:] += hsum(each(lambda p: jax.lax.dot_general(
+        hs[p][-1], dfeat_bf[p], (((0,), (0,)), ((), ())),
         preferred_element_type=f32)))
-    dsf_b_ref[:] += hsum(each(lambda p: jnp.sum(
-        dsf[p].astype(f32), axis=0, keepdims=True)))
+    dfeat_b_ref[:] += hsum(each(lambda p: jnp.sum(
+        dfeat[p], axis=0, keepdims=True)))
+    dsigma_w_ref[:] += hsum(each(lambda p: jnp.sum(
+        hs[p][-1].astype(f32) * dsigma_col[p], axis=0, keepdims=True)))
+    # bias grad: lane-replicate dsigma_col across a full 128-lane tile
+    # before the sublane reduce — (rows, X)->(1, X) only lowers for
+    # X a multiple of 128 (a (Rh, S)->(1, S) reduce at S=64 fails with
+    # "Unsupported output implicit dimension"). Every lane of the
+    # (1, 128) accumulator holds the same total; unpack reads lane 0.
+    ones_lane = jnp.ones((rows, 128), f32)
+    dsigma_b_ref[:] += hsum(each(lambda p: jnp.sum(
+        dsigma_col[p] * ones_lane, axis=0, keepdims=True)))
     dh = each(lambda p: jnp.dot(
-        dfeat[p].astype(bf), feat_wT[:], preferred_element_type=f32
+        dfeat_bf[p], feat_wT[:], preferred_element_type=f32
     ) + dsigma_col[p] * sigma_w_row[:])
 
     # trunk
@@ -366,8 +394,10 @@ def fused_train_grads(
         *[jax.ShapeDtypeStruct(w.shape, f32) for w in packed.trunk_w],
         jax.ShapeDtypeStruct(packed.skip_w.shape, f32),
         jax.ShapeDtypeStruct((depth, W), f32),
-        jax.ShapeDtypeStruct(packed.sf_w.shape, f32),
-        jax.ShapeDtypeStruct((1, F + 128), f32),
+        jax.ShapeDtypeStruct((W, F), f32),
+        jax.ShapeDtypeStruct((1, F), f32),
+        jax.ShapeDtypeStruct((1, W), f32),
+        jax.ShapeDtypeStruct((1, 128), f32),
         jax.ShapeDtypeStruct(packed.view_w.shape, f32),
         jax.ShapeDtypeStruct(packed.view_dir_w.shape, f32),
         jax.ShapeDtypeStruct((1, V), f32),
@@ -426,13 +456,15 @@ def fused_train_grads(
         d_trunk_w=tuple(g[:depth]),
         d_skip_w=g[depth],
         d_trunk_b=g[depth + 1],
-        d_sf_w=g[depth + 2],
-        d_sf_b=g[depth + 3],
-        d_view_w=g[depth + 4],
-        d_view_dir_w=g[depth + 5],
-        d_view_b=g[depth + 6],
-        d_rgb_w=g[depth + 7],
-        d_rgb_b=g[depth + 8],
+        d_feat_w=g[depth + 2],
+        d_feat_b=g[depth + 3],
+        d_sigma_w_row=g[depth + 4],
+        d_sigma_b=g[depth + 5],
+        d_view_w=g[depth + 6],
+        d_view_dir_w=g[depth + 7],
+        d_view_b=g[depth + 8],
+        d_rgb_w=g[depth + 9],
+        d_rgb_b=g[depth + 10],
     )
 
 
@@ -453,8 +485,9 @@ def unpack_grads(tg: TrainGrads, params: Params, cfg: ModelConfig) -> Params:
         else:
             gw = tg.d_trunk_w[i][:in_dim]
         out["trunk"].append({"w": gw, "b": tg.d_trunk_b[i]})
-    out["sigma"] = {"w": tg.d_sf_w[:, F:F + 1], "b": tg.d_sf_b[0, F:F + 1]}
-    out["feature"] = {"w": tg.d_sf_w[:, :F], "b": tg.d_sf_b[0, :F]}
+    out["sigma"] = {"w": jnp.transpose(tg.d_sigma_w_row),
+                    "b": tg.d_sigma_b[0, 0:1]}
+    out["feature"] = {"w": tg.d_feat_w, "b": tg.d_feat_b[0]}
     vw = params["view1"]["w"]
     out["view1"] = {
         "w": jnp.concatenate(
