@@ -175,11 +175,15 @@ class DeviceDataset:
         self.mode = "angles" if angles is not None else "c2w"
         if sharding is None:
             put = jnp.asarray
-        elif jax.process_count() > 1 and not sharding.is_fully_replicated:
+        elif not (sharding.is_fully_replicated
+                  or sharding.is_fully_addressable):
             # view-sharded store across hosts: each process contributes
             # its local view slice to ONE global array whose view axis
             # is laid out over the whole mesh (the device form of the
-            # process_shard slicing in data/factory.py)
+            # process_shard slicing in data/factory.py). Detected via
+            # addressability, NOT jax.process_count() — the latter
+            # touches the default backend, which the hermetic dryrun
+            # deliberately poisons (test_graft_entry.py).
             put = lambda x: jax.make_array_from_process_local_data(
                 sharding, x
             )

@@ -62,15 +62,21 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
 
     def _pmean(x):
         return x if single else jax.lax.pmean(x, DATA_AXIS)
+    err_frac = cfg.train.error_resample_frac
     if dataset is not None:
-        from ..data.device_dataset import _sample_per_ray
+        from ..data.device_dataset import (
+            _sample_error_weighted, _sample_per_ray, update_error_store,
+        )
 
         per_shard = (cfg.train.num_rays + nshards - 1) // nshards
         # dataset.num_views is the PROCESS-local view count; per-shard
         # sampling sees the full store when replicated, or its
-        # global/nshards view block when the store is view-sharded
-        global_views = dataset.num_views * jax.process_count()
+        # global/nshards view block when the store is view-sharded.
+        # Global count read off the (global) array shape rather than
+        # num_views * jax.process_count() — process_count() touches the
+        # default backend, which the hermetic dryrun poisons.
         if shard_store and not single:
+            global_views = dataset.images.shape[0]
             assert global_views % nshards == 0, (global_views, nshards)
             shard_views = global_views // nshards
         else:
@@ -176,19 +182,71 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
             )
             return new_state, aux
 
+        def _step_err(state: TrainState, images, pose_data, err_store,
+                      key: jax.Array):
+            """Error-weighted in-step sampling (BASELINE config 5):
+            every shard draws from the GLOBAL per-pixel error
+            distribution (store replicated — incompatible with
+            shard_store by construction), then all shards apply the
+            IDENTICAL all-gathered EMA scatter so their store copies
+            never diverge."""
+            k = jax.random.fold_in(key, _axis_index())
+            mode, white_bg, camera, h, w, nviews = ds_meta
+            num_err = int(per_shard * err_frac)
+            batch = _sample_error_weighted(
+                images, pose_data, err_store, jax.random.fold_in(k, 0),
+                per_shard, num_err, mode, white_bg, camera, h, w, nviews,
+            )
+            trainable = step_mod._trainable(state, cfg)
+            grads, aux = _local_grads(
+                trainable, batch, jax.random.fold_in(k, 1), state.grid,
+                state.step,
+            )
+            ray_err = aux.pop("ray_err")
+            grads = _pmean(grads)
+            aux = _pmean(aux)
+            aux["ray_err"] = ray_err
+            aux["batch_idx"] = batch.idx
+            if single:
+                idx_all, err_all = batch.idx, ray_err
+            else:
+                idx_all = jax.lax.all_gather(batch.idx, DATA_AXIS,
+                                             tiled=True)
+                err_all = jax.lax.all_gather(ray_err, DATA_AXIS,
+                                             tiled=True)
+            new_store = update_error_store(
+                err_store, idx_all, err_all, cfg.train.error_resample_ema
+            )
+            updates, opt_state = opt.update(grads, state.opt_state, trainable)
+            import optax
+
+            trainable = optax.apply_updates(trainable, updates)
+            params, fine_params = step_mod._untrainable(trainable, cfg)
+            new_state = state._replace(
+                step=state.step + 1, params=params, fine_params=fine_params,
+                opt_state=opt_state,
+            )
+            return new_state, aux, new_store
+
+        body = _step_err if err_frac > 0 else _step_sampling
         if single:
-            return jax.jit(_step_sampling, donate_argnums=(0,))
+            return jax.jit(body, donate_argnums=(0, 3) if err_frac > 0
+                           else (0,))
         spec = dict(aux_spec)
         spec["batch_idx"] = P(DATA_AXIS)
         store_spec = P(DATA_AXIS) if shard_store else P()
+        out_specs = ((P(), spec, P()) if err_frac > 0 else (P(), spec))
+        in_specs = ((P(), store_spec, store_spec, P(), P())
+                    if err_frac > 0 else (P(), store_spec, store_spec, P()))
         sharded = jax.shard_map(
-            _step_sampling,
+            body,
             mesh=mesh,
-            in_specs=(P(), store_spec, store_spec, P()),
-            out_specs=(P(), spec),
+            in_specs=in_specs,
+            out_specs=out_specs,
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=(0,))
+        return jax.jit(sharded, donate_argnums=(0, 3) if err_frac > 0
+                       else (0,))
 
     if single:
         return jax.jit(_step, donate_argnums=(0,))

@@ -294,18 +294,21 @@ def train(
     primary = dist_init.is_primary()
     mesh = mesh_mod.make_mesh(cfg.num_devices)
     nchips = mesh_mod.num_shards(mesh)
-    # per-ray mode with no error-resampling: fuse batch sampling INTO
-    # the jitted step (one dispatch/iter; the separate sample+place
-    # dispatches cost ~4 ms of pipeline bubbles under the fused kernel)
-    fused_sampling = (
-        cfg.train.error_resample_frac <= 0
-        and cfg.data.batch_mode == "per_ray"
-    )
+    # per-ray mode: fuse batch sampling INTO the jitted step (one
+    # dispatch/iter; the separate sample+place dispatches cost ~4 ms of
+    # pipeline bubbles under the fused kernel). Error resampling fuses
+    # too (dp._step_err): the store rides the step as a donated device
+    # arg and updates via an identical all-gathered scatter per shard.
+    fused_sampling = cfg.data.batch_mode == "per_ray"
+    fused_err = fused_sampling and cfg.train.error_resample_frac > 0
     # view-sharded pixel store (DataConfig.shard_pixel_store): each
     # DEVICE holds views/ndev views and samples locally — pod stores
-    # scale past one device/host's memory. Needs in-step sampling.
+    # scale past one device/host's memory. Needs in-step sampling and a
+    # GLOBAL store (the error distribution spans all views).
     shard_store = cfg.data.shard_pixel_store and nchips > 1
-    if cfg.data.shard_pixel_store and not fused_sampling:
+    if cfg.data.shard_pixel_store and (
+        not fused_sampling or cfg.train.error_resample_frac > 0
+    ):
         print("shard_pixel_store ignored: needs batch_mode=per_ray "
               "with no error resampling (store stays replicated)")
         shard_store = False
@@ -376,8 +379,9 @@ def train(
         err_store = ckpt.load_err_store(load_path) if load_path else None
         if err_store is None:
             err_store = dataset.init_error_store()
-        else:
-            err_store = jnp.asarray(err_store)
+        err_store = jax.device_put(
+            jnp.asarray(err_store), mesh_mod.replicated_sharding(mesh)
+        )
 
     # async host pipeline (batch_mode="host"): background thread +
     # optional C++ gold gather; replaces on-device sampling for scenes
@@ -428,13 +432,18 @@ def train(
                 jax.profiler.stop_trace()
                 print(f"profiler trace written under {run_dir}")
         k = jax.random.fold_in(key, it)
-        if fused_sampling:
+        if fused_err:
+            batch = None  # sampled in-step from the error distribution
+            state, aux, err_store = step_fn(
+                state, dataset.images, dataset.pose_data, err_store, k
+            )
+        elif fused_sampling:
             batch = None  # sampled in-step; aux carries batch_idx
             state, aux = step_fn(state, dataset.images, dataset.pose_data, k)
         else:
             batch = dp.place_batch(next_batch(jax.random.fold_in(k, 0)), mesh)
             state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))
-        if err_frac > 0:
+        if err_frac > 0 and not fused_err:
             from ..data.device_dataset import update_error_store
 
             err_store = update_error_store(

@@ -177,6 +177,45 @@ def test_dp_accumulation_runs():
     assert np.isfinite(float(aux["loss"]))
 
 
+def test_dp_error_resample_fused_in_step():
+    """Error-weighted sampling fused INTO the sharded step (dp._step_err):
+    the store rides the step as a device arg, every shard applies the
+    identical all-gathered EMA scatter, and the copies never diverge."""
+    from nerf_rs_tpu.data import synthetic
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset
+    from nerf_rs_tpu.ops import rays as rays_ops
+
+    cfg = _cfg(error_resample_frac=0.5)
+    m = mesh_mod.make_mesh()
+    imgs = np.asarray(synthetic.sphere_scene_images(cfg.camera, 16))
+    angles = np.asarray(rays_ops.view_angle_grid(6))[:16]
+    ds = DeviceDataset(imgs, cfg.camera, angles=angles,
+                       sharding=mesh_mod.replicated_sharding(m))
+    state = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), m)
+    err = jax.device_put(ds.init_error_store(),
+                         mesh_mod.replicated_sharding(m))
+    fn = dp.make_dp_train_step(cfg, m, dataset=ds)
+    state, aux, err2 = fn(state, ds.images, ds.pose_data, err,
+                          jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
+    # the visited pixels' entries moved off the optimistic init...
+    e2 = np.asarray(jax.device_get(err2))
+    idx = np.asarray(jax.device_get(aux["batch_idx"]))
+    assert not np.allclose(e2[idx], 1.0)
+    # ...untouched pixels kept it
+    mask = np.ones(e2.shape[0], bool)
+    mask[idx] = False
+    np.testing.assert_array_equal(e2[mask], 1.0)
+    # and every device holds the same store
+    shards = [np.asarray(s.data) for s in err2.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # second step threads the new store without re-placement
+    state, aux, err3 = fn(state, ds.images, ds.pose_data, err2,
+                          jax.random.PRNGKey(2))
+    assert int(jax.device_get(state.step)) == 2
+
+
 @pytest.mark.slow
 def test_flagship_width_dp_step():
     """The FULL flagship model (8x256+skip, PE 10/4) compiles and runs
