@@ -172,6 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
              "pod = DP + highest-error resampling (config 5)",
     )
 
+    # train / render / eval / export subcommands (reference surface +
+    # the inference/inspection entry points it lacked)
     sub.add_parser("train", parents=[common])
 
     pr = sub.add_parser("render", parents=[common])
@@ -189,6 +191,18 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--split", default="test", help="dataset split (blender) to evaluate")
     pe.add_argument("--max_views", type=int, default=0, help="0 = all views")
     pe.add_argument("--out_dir", default="", help="optionally dump per-view renders")
+
+    px = sub.add_parser("export", parents=[common])
+    px.add_argument("--scene_index", type=int, default=0,
+                    help="which scene of a --scenes stacked checkpoint")
+    px.add_argument("--grid_res", type=int, default=128,
+                    help="density grid resolution per axis")
+    px.add_argument("--export_aabb", type=float, default=1.6,
+                    help="half-extent of the sampled cube")
+    px.add_argument("--threshold", type=float, default=5.0,
+                    help="sigma cutoff for the .ply point cloud")
+    px.add_argument("--out", default="export/field",
+                    help="output prefix; writes <out>.npz and <out>.ply")
     return p
 
 
@@ -525,20 +539,61 @@ def cmd_eval(args) -> int:
     state = dp.place_state(state, mesh)
     render_fn = dp.make_dp_render(cfg, mesh)
 
+    from .ops.metrics import ssim as ssim_fn
+
     n = dataset.num_views if args.max_views <= 0 else min(args.max_views, dataset.num_views)
-    psnrs = []
+    psnrs, ssims = [], []
     t0 = time.time()
     for v in range(n):
         o, d = dataset.view_rays(v)
         rgb, _, _ = render_frame(cfg, state, o, d, mesh, render_fn)
-        p = float(render_ops.psnr(rgb, dataset.view_gold(v)))
+        gold = dataset.view_gold(v)
+        p = float(render_ops.psnr(rgb, gold))
+        s = float(ssim_fn(rgb[..., :3], gold[..., :3]))
         psnrs.append(p)
-        print(f"view {v:3d}: psnr {p:.2f}")
+        ssims.append(s)
+        print(f"view {v:3d}: psnr {p:.2f}  ssim {s:.4f}")
         if args.out_dir:
             save_png(os.path.join(args.out_dir, f"eval-{v:03d}.png"), np.asarray(rgb))
     print(
         f"mean psnr over {n} {args.split} views: {np.mean(psnrs):.2f} "
-        f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f}) in {time.time()-t0:.1f}s"
+        f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f}), "
+        f"mean ssim {np.mean(ssims):.4f} in {time.time()-t0:.1f}s"
+    )
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export the trained field: sigma/RGB sampled on a grid_res^3 grid
+    (.npz) plus a thresholded colored point cloud (.ply) for MeshLab/
+    Blender/Open3D inspection. The reference has no export surface at
+    all (its only field output is the live window, src/display.rs)."""
+    from .parallel import mesh as mesh_mod
+    from .utils import export as export_mod
+
+    cfg = config_from_args(args)
+    mesh = mesh_mod.make_mesh(cfg.num_devices)
+    state, load_path = _restore_for_inference(args, cfg, mesh)
+    if not load_path:
+        print("error: no checkpoint found (use --load_path or --save_dir)")
+        return 1
+    print(f"loaded {load_path} (step {int(state.step)})")
+    t0 = time.time()
+    sigma, rgb = export_mod.sample_density_grid(
+        state.params, cfg.model, res=args.grid_res, aabb=args.export_aabb,
+    )
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    export_mod.save_npz(args.out + ".npz", sigma, rgb, args.export_aabb)
+    xyz, rgb8 = export_mod.occupied_points(
+        sigma, rgb, args.export_aabb, args.threshold
+    )
+    export_mod.save_ply(args.out + ".ply", xyz, rgb8)
+    print(
+        f"exported {args.grid_res}^3 grid -> {args.out}.npz, "
+        f"{xyz.shape[0]} points (sigma > {args.threshold}) -> "
+        f"{args.out}.ply in {time.time()-t0:.1f}s"
     )
     return 0
 
@@ -560,6 +615,8 @@ def main(argv=None) -> int:
         return cmd_render(args)
     if args.cmd == "eval":
         return cmd_eval(args)
+    if args.cmd == "export":
+        return cmd_export(args)
     return 1
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.factory import make_dataset
-from ..ops import render as render_ops
+from ..ops import metrics, render as render_ops
 from ..parallel import dist_init, dp, mesh as mesh_mod
 from ..utils.profiling import Throughput
 from ..utils.tb import NullLogger, TBLogger
@@ -501,7 +501,11 @@ def train(
             gold = eval_ds.view_gold(eval_view)
             m = render_ops.mse(rgb, gold)
             psnr = float(render_ops.psnr_from_mse(m))
-            tb.scalars({"psnr_eval": psnr, "mse_eval": float(m)}, it)
+            ssim = float(metrics.ssim(rgb[..., :3], gold[..., :3]))
+            tb.scalars(
+                {"psnr_eval": psnr, "mse_eval": float(m), "ssim_eval": ssim},
+                it,
+            )
             if cfg.debug:
                 # --debug: show gold, to eyeball the data pipeline
                 tb.image("prediction", np.asarray(gold), it)
