@@ -97,6 +97,24 @@ def build_parser() -> argparse.ArgumentParser:
                         help="uniform floor blended into the occupancy "
                              "PDF (0.10 = measured edge for tuned runs; "
                              "0 collapses on sparse scenes)")
+    common.add_argument(
+        "--arch", default="nerf", choices=["nerf", "hashgrid"],
+        help="architecture family: paper NeRF (PE + 8x256 MLP) or "
+             "Instant-NGP hash encoding + tiny MLPs (models/hashgrid.py)",
+    )
+    common.add_argument("--hash_levels", type=int, default=16,
+                        help="hashgrid resolution levels")
+    common.add_argument("--hash_table_log2", type=int, default=19,
+                        help="log2 entries per hash level")
+    common.add_argument("--hash_base_res", type=int, default=16)
+    common.add_argument("--hash_max_res", type=int, default=1024)
+    common.add_argument("--hash_aabb", type=float, default=1.6,
+                        help="hash grid AABB half-extent")
+    common.add_argument(
+        "--sigma_activation", default="relu",
+        choices=["relu", "softplus"],
+        help="density activation (softplus recommended for hashgrid)",
+    )
     _bool_flag(common, "use_proposal", False,
                "proposal-network sampling (mip-NeRF 360 lineage): a tiny "
                "density MLP picks the main network's samples; trained "
@@ -161,7 +179,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--preset", default="",
         choices=["", "tiny", "full", "hierarchical", "record", "proposal",
-                 "pod"],
+                 "pod", "ngp"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
@@ -169,7 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
              "(recommended time-to-quality config, docs/PERFORMANCE.md); "
              "record = hierarchical + occ-guided coarse sampling (the "
              "48.80 dB quality-record config, README); "
-             "pod = DP + highest-error resampling (config 5)",
+             "pod = DP + highest-error resampling (config 5); "
+             "ngp = Instant-NGP hash-grid field (time-to-quality)",
     )
 
     # train / render / eval / export subcommands (reference surface +
@@ -268,6 +287,13 @@ def _apply_preset(args):
              white_background=True, proposal_anneal_steps=1000)
     elif p == "pod":
         _set(error_resample_frac=max(args.error_resample_frac, 0.5))
+    elif p == "ngp":
+        # Instant-NGP family (models/hashgrid.py): hash tables learn at
+        # much higher lr than MLPs (paper §4); softplus keeps density
+        # gradients alive through the sparse table entries
+        _set(arch="hashgrid", sigma_activation="softplus",
+             learning_rate=1e-2, num_samples=128,
+             white_background=True)
     return args
 
 
@@ -291,7 +317,15 @@ def config_from_args(args) -> "Config":
             render_cfg, num_samples=args.num_samples,
         )
     else:
-        model = ModelConfig()
+        model = ModelConfig(
+            arch=args.arch,
+            hash_levels=args.hash_levels,
+            hash_table_log2=args.hash_table_log2,
+            hash_base_res=args.hash_base_res,
+            hash_max_res=args.hash_max_res,
+            hash_aabb=args.hash_aabb,
+            sigma_activation=args.sigma_activation,
+        )
         render_cfg = RenderConfig(
             num_samples=args.num_samples,
             num_fine_samples=args.num_fine_samples,

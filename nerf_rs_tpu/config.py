@@ -66,6 +66,18 @@ class ModelConfig:
     compat: bool = False
     compat_width: int = 100
     compat_head_width: int = 50
+    # Architecture family: "nerf" (PE + 8x256 MLP, above) or
+    # "hashgrid" (Instant-NGP, arXiv 2201.05989: multiresolution hash
+    # encoding + tiny MLPs — models/hashgrid.py). compat=True overrides.
+    arch: str = "nerf"
+    hash_levels: int = 16  # L resolution levels
+    hash_features: int = 2  # F features per level entry
+    hash_table_log2: int = 19  # log2(T) entries per level
+    hash_base_res: int = 16  # N_min
+    hash_max_res: int = 1024  # N_max
+    hash_aabb: float = 1.6  # grid covers [-a, a]^3
+    hash_mlp_width: int = 64  # tiny-MLP width (both nets)
+    hash_geo_feats: int = 15  # sigma-net features feeding the color net
 
 
 @dataclass(frozen=True)

@@ -93,9 +93,14 @@ def _act(h: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def init_nerf_params(key: jax.Array, cfg: ModelConfig) -> Params:
-    """Build the parameter pytree for either architecture."""
+    """Build the parameter pytree for any architecture family
+    (compat > arch: the reference-compat flag wins)."""
     if cfg.compat:
         return _init_compat(key, cfg)
+    if cfg.arch == "hashgrid":
+        from .hashgrid import init_hash_params
+
+        return init_hash_params(key, cfg)
     pos_dim = posenc_dim(3, cfg.pos_enc_levels, cfg.include_input_in_enc)
     dir_dim = posenc_dim(3, cfg.dir_enc_levels, cfg.include_input_in_enc)
     keys = jax.random.split(key, cfg.net_depth + 5)
@@ -173,6 +178,16 @@ def apply_nerf(
     """
     if cfg.compat:
         return _apply_compat(params, points, cfg, dtype, noise_std, noise_key)
+    if cfg.arch == "hashgrid":
+        from .hashgrid import apply_hashgrid
+
+        sigma_raw, rgb_raw = apply_hashgrid(params, points, viewdirs, cfg, dtype)
+        rgb = (
+            jax.nn.sigmoid(rgb_raw)
+            if cfg.rgb_activation == "sigmoid" else rgb_raw
+        )
+        sigma_raw = _sigma_noise(sigma_raw, noise_std, noise_key)
+        return _sigma_act(sigma_raw, cfg), rgb
     x = posenc(points, cfg.pos_enc_levels, cfg.include_input_in_enc)
     if dtype is not None and dtype != jnp.float32:
         x = x.astype(dtype)

@@ -99,9 +99,11 @@ def compat_predict(
 
 
 def fused_supported(model_cfg: ModelConfig) -> bool:
-    """The fused Pallas kernel covers the flagship paper architecture."""
+    """The fused Pallas kernels cover the flagship paper architecture;
+    compat and hashgrid configs run the XLA path."""
     return (
         not model_cfg.compat
+        and model_cfg.arch == "nerf"
         and model_cfg.use_viewdirs
         and model_cfg.rgb_activation == "sigmoid"
         and model_cfg.include_input_in_enc
