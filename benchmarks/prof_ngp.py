@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--rays", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--arch", default="hashgrid",
+                    choices=["hashgrid", "factored"])
     args = ap.parse_args()
 
     from nerf_rs_tpu.config import (CameraConfig, Config, ModelConfig,
@@ -34,7 +36,7 @@ def main():
 
     cfg = Config(
         camera=CameraConfig(width=128, height=128),
-        model=ModelConfig(arch="hashgrid", sigma_activation="softplus"),
+        model=ModelConfig(arch=args.arch, sigma_activation="softplus"),
         render=RenderConfig(num_samples=args.samples, white_background=True),
         train=TrainConfig(num_rays=args.rays, precision="mixed",
                           learning_rate=1e-2),
@@ -78,14 +80,20 @@ def main():
     params = mlp.init_nerf_params(kp, cfg.model)
     pts = jax.random.uniform(kp, (n, 3), jnp.float32, -1.0, 1.0)
 
+    if args.arch == "hashgrid":
+        leaf, enc = params["table"], hashgrid.hash_encode
+    else:
+        from nerf_rs_tpu.models import factored
+        leaf, enc = params["lines"], factored.factored_encode
+
     @jax.jit
     def enc_fwd(table, pts):
-        return hashgrid.hash_encode(table, pts, cfg.model).sum()
+        return enc(table, pts, cfg.model).sum()
 
     grad_fn = jax.jit(jax.grad(lambda t, p: enc_fwd(t, p)))
 
-    for name, fn, arg0 in (("encode fwd", enc_fwd, params["table"]),
-                           ("encode grad", grad_fn, params["table"])):
+    for name, fn, arg0 in (("encode fwd", enc_fwd, leaf),
+                           ("encode grad", grad_fn, leaf)):
         out = fn(arg0, pts)
         jax.block_until_ready(out)
         wins = []

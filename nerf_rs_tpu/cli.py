@@ -98,9 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "PDF (0.10 = measured edge for tuned runs; "
                              "0 collapses on sparse scenes)")
     common.add_argument(
-        "--arch", default="nerf", choices=["nerf", "hashgrid"],
-        help="architecture family: paper NeRF (PE + 8x256 MLP) or "
-             "Instant-NGP hash encoding + tiny MLPs (models/hashgrid.py)",
+        "--arch", default="nerf", choices=["nerf", "hashgrid", "factored"],
+        help="architecture family: paper NeRF (PE + 8x256 MLP), "
+             "Instant-NGP hash encoding + tiny MLPs (models/hashgrid"
+             ".py), or gather-free CP-factored multiresolution lines — "
+             "the TPU-native fast field (models/factored.py)",
     )
     common.add_argument("--hash_levels", type=int, default=16,
                         help="hashgrid resolution levels")
@@ -110,6 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--hash_max_res", type=int, default=1024)
     common.add_argument("--hash_aabb", type=float, default=1.6,
                         help="hash grid AABB half-extent")
+    common.add_argument("--fac_levels", type=int, default=6,
+                        help="factored-family resolution-ladder levels")
+    common.add_argument("--fac_base_res", type=int, default=16)
+    common.add_argument("--fac_max_res", type=int, default=512,
+                        help="finest factored line resolution")
+    common.add_argument("--fac_comps", type=int, default=48,
+                        help="CP rank (per-axis matmul channels)")
+    common.add_argument("--fac_aabb", type=float, default=1.6,
+                        help="factored field AABB half-extent")
     common.add_argument(
         "--sigma_activation", default="relu",
         choices=["relu", "softplus"],
@@ -179,7 +190,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--preset", default="",
         choices=["", "tiny", "full", "hierarchical", "record", "proposal",
-                 "pod", "ngp"],
+                 "pod", "ngp", "factored"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
@@ -188,7 +199,8 @@ def build_parser() -> argparse.ArgumentParser:
              "record = hierarchical + occ-guided coarse sampling (the "
              "48.80 dB quality-record config, README); "
              "pod = DP + highest-error resampling (config 5); "
-             "ngp = Instant-NGP hash-grid field (time-to-quality)",
+             "ngp = Instant-NGP hash-grid field; factored = gather-free "
+             "CP multiresolution field (TPU-native fast family)",
     )
 
     # train / render / eval / export subcommands (reference surface +
@@ -294,6 +306,13 @@ def _apply_preset(args):
         _set(arch="hashgrid", sigma_activation="softplus",
              learning_rate=1e-2, num_samples=128,
              white_background=True)
+    elif p == "factored":
+        # CP-factored multiresolution field (models/factored.py): the
+        # gather-free TPU-native fast family; grids learn at high lr
+        # like the ngp preset
+        _set(arch="factored", sigma_activation="softplus",
+             learning_rate=1e-2, num_samples=128,
+             white_background=True)
     return args
 
 
@@ -324,6 +343,11 @@ def config_from_args(args) -> "Config":
             hash_base_res=args.hash_base_res,
             hash_max_res=args.hash_max_res,
             hash_aabb=args.hash_aabb,
+            fac_levels=args.fac_levels,
+            fac_base_res=args.fac_base_res,
+            fac_max_res=args.fac_max_res,
+            fac_comps=args.fac_comps,
+            fac_aabb=args.fac_aabb,
             sigma_activation=args.sigma_activation,
         )
         render_cfg = RenderConfig(

@@ -66,9 +66,11 @@ class ModelConfig:
     compat: bool = False
     compat_width: int = 100
     compat_head_width: int = 50
-    # Architecture family: "nerf" (PE + 8x256 MLP, above) or
-    # "hashgrid" (Instant-NGP, arXiv 2201.05989: multiresolution hash
-    # encoding + tiny MLPs — models/hashgrid.py). compat=True overrides.
+    # Architecture family: "nerf" (PE + 8x256 MLP, above), "hashgrid"
+    # (Instant-NGP, arXiv 2201.05989: multiresolution hash encoding +
+    # tiny MLPs — models/hashgrid.py), or "factored" (CP-decomposed
+    # multiresolution lines, gather-free — the TPU-native fast field,
+    # models/factored.py). compat=True overrides.
     arch: str = "nerf"
     hash_levels: int = 16  # L resolution levels
     hash_features: int = 2  # F features per level entry
@@ -76,8 +78,16 @@ class ModelConfig:
     hash_base_res: int = 16  # N_min
     hash_max_res: int = 1024  # N_max
     hash_aabb: float = 1.6  # grid covers [-a, a]^3
-    hash_mlp_width: int = 64  # tiny-MLP width (both nets)
+    hash_mlp_width: int = 64  # tiny-MLP width (both nets; shared by
+    # the factored family's heads)
     hash_geo_feats: int = 15  # sigma-net features feeding the color net
+    # Factored (CP) family (models/factored.py):
+    fac_levels: int = 6  # resolution-ladder levels
+    fac_base_res: int = 16  # coarsest line resolution
+    fac_max_res: int = 512  # finest line resolution
+    fac_comps: int = 48  # CP rank (channels of the per-axis matmul)
+    fac_aabb: float = 1.6  # field covers [-a, a]^3
+    fac_init_scale: float = 0.25  # line init stddev
 
 
 @dataclass(frozen=True)

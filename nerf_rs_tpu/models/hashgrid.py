@@ -53,19 +53,16 @@ def level_resolutions(cfg: ModelConfig) -> List[int]:
     return [int(math.floor(cfg.hash_base_res * (b ** l))) for l in range(L)]
 
 
-def init_hash_params(key: jax.Array, cfg: ModelConfig) -> Params:
-    """Tables U(-1e-4, 1e-4) (paper §4); tiny MLPs He-init."""
-    L, F = cfg.hash_levels, cfg.hash_features
-    T = 1 << cfg.hash_table_log2
+def init_tiny_heads(key: jax.Array, enc_dim: int, cfg: ModelConfig) -> Params:
+    """He-init tiny sigma/color MLPs shared by the grid-encoding
+    families (hashgrid, factored): enc -> W -> 1+G sigma net, then
+    (G [, PE(dir)]) -> W -> W -> 3 color net."""
     W = cfg.hash_mlp_width
     G = cfg.hash_geo_feats
     dir_dim = posenc_dim(3, cfg.dir_enc_levels, cfg.include_input_in_enc)
-    kt, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params: Params = {
-        "table": jax.random.uniform(
-            kt, (L * T, F), jnp.float32, -1e-4, 1e-4
-        ),
-        "sigma1": _init_linear(k1, L * F, W),
+        "sigma1": _init_linear(k1, enc_dim, W),
         "sigma2": _init_linear(k2, W, 1 + G),
     }
     if cfg.use_viewdirs:
@@ -74,6 +71,51 @@ def init_hash_params(key: jax.Array, cfg: ModelConfig) -> Params:
         params["color1"] = _init_linear(k3, G, W)
     params["color2"] = _init_linear(k4, W, W)
     params["rgb"] = _init_linear(k5, W, 3)
+    return params
+
+
+def apply_tiny_heads(
+    params: Params,
+    enc: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    cfg: ModelConfig,
+    dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """enc (..., enc_dim) -> (sigma_raw (...,), rgb_raw (..., 3)),
+    both f32, BEFORE activations (the apply_nerf dispatch applies
+    cfg.sigma_activation / rgb sigmoid so noise/compat semantics stay
+    in one place)."""
+    if dtype is not None and dtype != jnp.float32:
+        enc = enc.astype(dtype)
+    h = jax.nn.relu(dense(enc, params["sigma1"], dtype))
+    out = dense(h, params["sigma2"], dtype)
+    sigma_raw = out[..., 0].astype(jnp.float32)
+    geo = out[..., 1:]
+    if cfg.use_viewdirs:
+        d = posenc(viewdirs, cfg.dir_enc_levels, cfg.include_input_in_enc)
+        d = jnp.broadcast_to(d, geo.shape[:-1] + (d.shape[-1],))
+        if dtype is not None and dtype != jnp.float32:
+            d = d.astype(dtype)
+        hc = jnp.concatenate([geo, d], axis=-1)
+    else:
+        hc = geo
+    hc = jax.nn.relu(dense(hc, params["color1"], dtype))
+    hc = jax.nn.relu(dense(hc, params["color2"], dtype))
+    rgb_raw = dense(hc, params["rgb"], dtype).astype(jnp.float32)
+    return sigma_raw, rgb_raw
+
+
+def init_hash_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Tables U(-1e-4, 1e-4) (paper §4); tiny MLPs He-init."""
+    L, F = cfg.hash_levels, cfg.hash_features
+    T = 1 << cfg.hash_table_log2
+    kt, kh = jax.random.split(key)
+    params: Params = {
+        "table": jax.random.uniform(
+            kt, (L * T, F), jnp.float32, -1e-4, 1e-4
+        ),
+    }
+    params.update(init_tiny_heads(kh, L * F, cfg))
     return params
 
 
@@ -177,21 +219,4 @@ def apply_hashgrid(
     the caller (mlp.apply_nerf dispatch) applies cfg.sigma_activation /
     rgb sigmoid so noise/compat semantics stay in one place."""
     enc = hash_encode(params["table"], points, cfg)
-    if dtype is not None and dtype != jnp.float32:
-        enc = enc.astype(dtype)
-    h = jax.nn.relu(dense(enc, params["sigma1"], dtype))
-    out = dense(h, params["sigma2"], dtype)
-    sigma_raw = out[..., 0].astype(jnp.float32)
-    geo = out[..., 1:]
-    if cfg.use_viewdirs:
-        d = posenc(viewdirs, cfg.dir_enc_levels, cfg.include_input_in_enc)
-        d = jnp.broadcast_to(d, geo.shape[:-1] + (d.shape[-1],))
-        if dtype is not None and dtype != jnp.float32:
-            d = d.astype(dtype)
-        hc = jnp.concatenate([geo, d], axis=-1)
-    else:
-        hc = geo
-    hc = jax.nn.relu(dense(hc, params["color1"], dtype))
-    hc = jax.nn.relu(dense(hc, params["color2"], dtype))
-    rgb_raw = dense(hc, params["rgb"], dtype).astype(jnp.float32)
-    return sigma_raw, rgb_raw
+    return apply_tiny_heads(params, enc, viewdirs, cfg, dtype)

@@ -101,6 +101,10 @@ def init_nerf_params(key: jax.Array, cfg: ModelConfig) -> Params:
         from .hashgrid import init_hash_params
 
         return init_hash_params(key, cfg)
+    if cfg.arch == "factored":
+        from .factored import init_factored_params
+
+        return init_factored_params(key, cfg)
     pos_dim = posenc_dim(3, cfg.pos_enc_levels, cfg.include_input_in_enc)
     dir_dim = posenc_dim(3, cfg.dir_enc_levels, cfg.include_input_in_enc)
     keys = jax.random.split(key, cfg.net_depth + 5)
@@ -178,10 +182,13 @@ def apply_nerf(
     """
     if cfg.compat:
         return _apply_compat(params, points, cfg, dtype, noise_std, noise_key)
-    if cfg.arch == "hashgrid":
-        from .hashgrid import apply_hashgrid
+    if cfg.arch in ("hashgrid", "factored"):
+        if cfg.arch == "hashgrid":
+            from .hashgrid import apply_hashgrid as apply_fn
+        else:
+            from .factored import apply_factored as apply_fn
 
-        sigma_raw, rgb_raw = apply_hashgrid(params, points, viewdirs, cfg, dtype)
+        sigma_raw, rgb_raw = apply_fn(params, points, viewdirs, cfg, dtype)
         rgb = (
             jax.nn.sigmoid(rgb_raw)
             if cfg.rgb_activation == "sigmoid" else rgb_raw
