@@ -88,6 +88,12 @@ class ModelConfig:
     fac_comps: int = 48  # CP rank (channels of the per-axis matmul)
     fac_aabb: float = 1.6  # field covers [-a, a]^3
     fac_init_scale: float = 0.25  # line init stddev
+    # Encode implementation: the fused Pallas kernel keeps the (N,
+    # sumR) hat-weight matrices VMEM-resident (kernels/fused_factored
+    # .py); the XLA path materializes them as matmul operands. The
+    # kernel carries no point-cotangent (points are non-parameters in
+    # every training path).
+    fac_fused: bool = True
 
 
 @dataclass(frozen=True)

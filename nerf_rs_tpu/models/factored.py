@@ -131,5 +131,10 @@ def apply_factored(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as mlp.apply_nerf / hashgrid.apply_hashgrid:
     (sigma_raw (...,), rgb_raw (..., 3)) before activations."""
-    enc = factored_encode(params["lines"], points, cfg, dtype)
+    if cfg.fac_fused:
+        from ..kernels.fused_factored import fused_factored_encode
+
+        enc = fused_factored_encode(params["lines"], points, cfg, dtype)
+    else:
+        enc = factored_encode(params["lines"], points, cfg, dtype)
     return apply_tiny_heads(params, enc, viewdirs, cfg, dtype)

@@ -89,6 +89,38 @@ def test_encode_continuity():
     assert float(jnp.abs(e1 - e2).max()) < 1e-2
 
 
+def test_fused_encode_matches_xla():
+    """Pallas kernel (interpret mode on CPU) == XLA encode, values and
+    line-gradients; the kernel's point-cotangent is zero by design."""
+    from nerf_rs_tpu.kernels.fused_factored import fused_factored_encode
+
+    key = jax.random.PRNGKey(0)
+    lines = jax.random.normal(key, (3, factored.basis_dim(CFG),
+                                    CFG.fac_comps))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (100, 3),
+                             minval=-1.2, maxval=1.2)
+    want = factored.factored_encode(lines, pts, CFG)
+    got = fused_factored_encode(lines, pts, CFG, block=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    g_out = jax.random.normal(jax.random.PRNGKey(2),
+                              (100, CFG.fac_comps))
+
+    def loss_xla(l):
+        return jnp.sum(factored.factored_encode(l, pts, CFG) * g_out)
+
+    def loss_fused(l):
+        return jnp.sum(fused_factored_encode(l, pts, CFG, block=128,
+                                             interpret=True) * g_out)
+
+    gx = jax.grad(loss_xla)(lines)
+    gf = jax.grad(loss_fused)(lines)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_apply_shapes_and_grad_flow():
     params = init_nerf_params(jax.random.PRNGKey(0), CFG)
     pts = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 3),
