@@ -88,12 +88,13 @@ class ModelConfig:
     fac_comps: int = 48  # CP rank (channels of the per-axis matmul)
     fac_aabb: float = 1.6  # field covers [-a, a]^3
     fac_init_scale: float = 0.25  # line init stddev
-    # Encode implementation: the fused Pallas kernel keeps the (N,
-    # sumR) hat-weight matrices VMEM-resident (kernels/fused_factored
-    # .py); the XLA path materializes them as matmul operands. The
-    # kernel carries no point-cotangent (points are non-parameters in
-    # every training path).
-    fac_fused: bool = True
+    # Encode implementation. Default XLA: measured interleaved A/B
+    # (benchmarks/ab_factored.py, v5e) put the XLA step at 6.7 ms vs
+    # 13.2 for the Pallas kernel — XLA fuses the hat-weight build into
+    # the dot as an operand fusion (W never hits HBM there either) and
+    # pipelines it better; the kernel is a measured negative result
+    # kept selectable (kernels/fused_factored.py; no point-cotangent).
+    fac_fused: bool = False
 
 
 @dataclass(frozen=True)
