@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="CP rank (per-axis matmul channels)")
     common.add_argument("--fac_aabb", type=float, default=1.6,
                         help="factored field AABB half-extent")
+    common.add_argument("--fac_l1", type=float, default=0.0,
+                        help="L1 penalty on the factored line tables "
+                             "(TensoRF grid sparsity; suppresses CP "
+                             "axis-streak fog)")
     common.add_argument(
         "--sigma_activation", default="relu",
         choices=["relu", "softplus"],
@@ -348,6 +352,7 @@ def config_from_args(args) -> "Config":
             fac_max_res=args.fac_max_res,
             fac_comps=args.fac_comps,
             fac_aabb=args.fac_aabb,
+            fac_l1=args.fac_l1,
             sigma_activation=args.sigma_activation,
         )
         render_cfg = RenderConfig(

@@ -88,6 +88,11 @@ class ModelConfig:
     fac_comps: int = 48  # CP rank (channels of the per-axis matmul)
     fac_aabb: float = 1.6  # field covers [-a, a]^3
     fac_init_scale: float = 0.25  # line init stddev
+    # L1 penalty on the line tables (TensoRF §5's grid sparsity loss):
+    # CP components are global axis products, so features inside the
+    # object ring faint density streaks along axis-aligned corridors
+    # outside it; L1 pulls unused knots to zero and suppresses the fog
+    fac_l1: float = 0.0
     # Encode implementation. Default XLA: measured interleaved A/B
     # (benchmarks/ab_factored.py, v5e) put the XLA step at 6.7 ms vs
     # 13.2 for the Pallas kernel — XLA fuses the hat-weight build into

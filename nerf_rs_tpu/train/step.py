@@ -137,6 +137,16 @@ def _prop_anneal(cfg: Config, step):
     return s * x / ((s - 1.0) * x + 1.0)
 
 
+def _reg_loss(params, cfg: Config) -> jnp.ndarray:
+    """Architecture-specific parameter regularizers folded into the
+    photometric loss. Factored family: TensoRF-style L1 on the line
+    tables (cfg.model.fac_l1) — suppresses the CP axis-streak fog that
+    costs SSIM on white-background scenes."""
+    if cfg.model.arch == "factored" and cfg.model.fac_l1 > 0.0:
+        return cfg.model.fac_l1 * jnp.mean(jnp.abs(params["lines"]))
+    return jnp.float32(0.0)
+
+
 def loss_fn(
     trainable,
     batch: Batch,
@@ -170,7 +180,7 @@ def loss_fn(
     )
     gold_rgb = batch.gold[..., :3]
     loss_c = render.mse(coarse.rgb[..., :3], gold_rgb)
-    loss = loss_c
+    loss = loss_c + _reg_loss(params, cfg)
     aux = {"loss_coarse": loss_c}
     if fine is not None:
         loss_f = render.mse(fine.rgb[..., :3], gold_rgb)
@@ -237,7 +247,8 @@ def _proposal_loss(
     loss_il = prop_ops.multi_interlevel_loss(
         prop_ops.edges_from_ts(ts_m), w_m, hists
     )
-    loss = loss_photo + cfg.proposal.loss_mult * loss_il
+    loss = (loss_photo + cfg.proposal.loss_mult * loss_il
+            + _reg_loss(params, cfg))
     aux = {
         "loss": loss,
         "loss_coarse": loss_photo,

@@ -182,6 +182,41 @@ def test_factored_converges():
     )
 
 
+def test_l1_regularizer_enters_loss_and_grads():
+    """fac_l1 adds mean|lines| to the loss and a sign term to the line
+    gradients (TensoRF grid sparsity)."""
+    from nerf_rs_tpu.train.step import loss_fn
+
+    def cfg_with(l1):
+        import dataclasses
+        return Config(
+            camera=CameraConfig(width=32, height=32),
+            model=dataclasses.replace(CFG, fac_l1=l1),
+            render=RenderConfig(num_samples=16),
+            train=TrainConfig(num_rays=64, precision="f32"),
+        )
+
+    key = jax.random.PRNGKey(0)
+    state = init_state(key, cfg_with(0.0))
+    o = jnp.zeros((64, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((64, 3)).at[:, 2].set(1.0)
+    batch = Batch(origins=o, dirs=d, gold=jnp.ones((64, 3)) * 0.5)
+    l0, _ = loss_fn(state.params, batch, key, cfg_with(0.0))
+    l1, _ = loss_fn(state.params, batch, key, cfg_with(0.1))
+    want = 0.1 * float(jnp.mean(jnp.abs(state.params["lines"])))
+    np.testing.assert_allclose(float(l1 - l0), want, rtol=1e-4)
+
+    g = jax.grad(lambda p: loss_fn(p, batch, key, cfg_with(0.1))[0])(
+        state.params)
+    g0 = jax.grad(lambda p: loss_fn(p, batch, key, cfg_with(0.0))[0])(
+        state.params)
+    n = state.params["lines"].size
+    np.testing.assert_allclose(
+        np.asarray(g["lines"] - g0["lines"]),
+        np.asarray(0.1 * jnp.sign(state.params["lines"]) / n),
+        atol=1e-7)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from nerf_rs_tpu.train import checkpoint as ckpt
 
