@@ -117,6 +117,35 @@ def main():
         hbase += 50
     hier_ms = 1000.0 * min(hwin)
 
+    # secondary: the factored fast-field family (--arch factored,
+    # gather-free CP multiresolution; models/factored.py) at its
+    # 128-sample config — the framework's highest-throughput trainer
+    from nerf_rs_tpu.config import ModelConfig
+    fcfg = Config(
+        camera=cfg.camera,
+        model=ModelConfig(arch="factored", sigma_activation="softplus"),
+        render=RenderConfig(num_samples=128, white_background=True),
+        train=TrainConfig(num_rays=num_rays, precision="mixed",
+                          learning_rate=1e-2),
+    )
+    fstate = dp.place_state(init_state(key, fcfg), mesh)
+    fstep = dp.make_dp_train_step(fcfg, mesh, dataset=ds)
+    for i in range(3):
+        fstate, faux = fstep(fstate, ds.images, ds.pose_data,
+                             jax.random.fold_in(key, 20000 + i))
+    float(jax.device_get(faux["loss"]))
+    fwin, fbase = [], 20003
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(fbase, fbase + 50):
+            fstate, faux = fstep(fstate, ds.images, ds.pose_data,
+                                 jax.random.fold_in(key, i))
+        float(jax.device_get(faux["loss"]))
+        fwin.append((time.perf_counter() - t0) / 50)
+        fbase += 50
+    fac_ms = 1000.0 * min(fwin)
+    fac_sps = num_rays * 128 / min(fwin) / nchips
+
     # secondary: 800x800 novel-view render (coarse-only flagship)
     rcam = CameraConfig(width=800, height=800)
     pose = rays_ops.pose_from_yaw_pitch(jnp.float32(0.3), jnp.float32(0.2))
@@ -151,6 +180,8 @@ def main():
             "render_800x800_s": round(render_s, 3),
             "render_windows_s": [round(w, 3) for w in render_windows],
             "hier_64_128_step_ms": round(hier_ms, 2),
+            "factored_128_step_ms": round(fac_ms, 2),
+            "factored_samples_per_sec_per_chip": round(fac_sps, 1),
             "device": str(jax.devices()[0].device_kind),
         },
     }))
