@@ -244,16 +244,20 @@ def _train_kernel(
     # reshape, one-hot pick) was tried — its Mosaic compile ran >13 min
     # without finishing (the (Rh,S,S) broadcast is NOT the free
     # leading-dim pattern of the point expansion; minor dim 3 vs S).
-    # The two HIGHEST-precision matmuls below compile in seconds and
-    # cost ~0.8 GFLOP-equiv per block.
+    # The selector matmul runs at DEFAULT (one-pass bf16) precision:
+    # E has exactly one 1 per row, so the product is a pure per-element
+    # gather with no accumulation — exact up to bf16 rounding of the
+    # dsigma values, which already ride bf16 everywhere downstream. The
+    # round-3 HIGHEST version spent 6 MXU passes here (~5% of the
+    # block's tile-passes) buying nothing.
     ray_of_row = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 0) // S
     colR = jax.lax.broadcasted_iota(jnp.int32, (rows, Rh), 1)
-    E = (ray_of_row == colR).astype(f32)
+    E = (ray_of_row == colR).astype(bf)
     srow = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 0) % S
     colS = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
     sel = (srow == colS).astype(f32)
     dsig_rows = each(lambda p: jax.lax.dot_general(
-        E, dsigma_rs[p], (((1,), (0,)), ((), ())), precision=hi,
+        E, dsigma_rs[p].astype(bf), (((1,), (0,)), ((), ())),
         preferred_element_type=f32))  # (rows, S)
     dsigma_col = each(lambda p: jnp.sum(
         dsig_rows[p] * sel, axis=1, keepdims=True))  # (rows, 1)
