@@ -158,8 +158,16 @@ def _train_kernel(
         o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]
     ).reshape(rows, 3))
     x = each(lambda p: _pe_encode(pts[p], pos_pad).astype(bf))  # (rows, P)
+    # per-sample copies of the view-dir encoding are needed only by the
+    # BACKWARD dview_dir_w contraction; the forward view-dir matmul is
+    # hoisted to ray level below (view dirs are constant per ray), so
+    # the expansion is the free leading-dim relayout. The broadcast
+    # must happen in f32: a bf16 (Rh, 32) vector fails the Mosaic
+    # shape cast ("infer-vector-layout: unsupported shape cast").
+    dvr_f32 = each(lambda p: _pe_encode(sl(vd_ref, p), dir_pad))
+    dvr = each(lambda p: dvr_f32[p].astype(bf))
     dv = each(lambda p: jnp.broadcast_to(
-        _pe_encode(sl(vd_ref, p), dir_pad)[:, None, :], (Rh, S, dir_pad)
+        dvr_f32[p][:, None, :], (Rh, S, dir_pad)
     ).reshape(rows, dir_pad).astype(bf))
 
     hs = [[] for _ in range(H)]  # post-relu activations for the backward
@@ -189,8 +197,14 @@ def _train_kernel(
     feat = each(lambda p: sf[p][:, :F].astype(bf))
     hv_acc = each(lambda p: jnp.dot(
         feat[p], view_w[:], preferred_element_type=f32))
-    hv_acc = each(lambda p: hv_acc[p] + jnp.dot(
-        dv[p], view_dir_w[:], preferred_element_type=f32))
+    # view-dir head at RAY level — (Rh, dir_pad) @ (dir_pad, V) once
+    # per ray instead of S times (1 MXU tile-pass vs 64 per block at
+    # R=128/S=64), then the free leading-dim expansion to rows
+    hv_dir = each(lambda p: jnp.dot(
+        dvr[p], view_dir_w[:], preferred_element_type=f32))
+    hv_acc = each(lambda p: hv_acc[p] + jnp.broadcast_to(
+        hv_dir[p][:, None, :], (Rh, S, hv_dir[p].shape[-1])
+    ).reshape(rows, hv_dir[p].shape[-1]))
     hv = each(lambda p: jnp.maximum(hv_acc[p] + view_b[:], 0.0).astype(bf))
     rgb_raw = each(lambda p: (jnp.dot(
         hv[p], rgb_w[:], preferred_element_type=f32) + rgb_b[:])[:, :3])
