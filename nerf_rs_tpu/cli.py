@@ -219,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--out_dir", default="renders")
     pr.add_argument("--view", type=int, default=-1, help="render one dataset view instead of a sweep")
     _bool_flag(pr, "gif", False, "also write an animated sweep.gif")
+    _bool_flag(pr, "depth", False,
+               "also write depth (expected termination distance, "
+               "normalized by far) and acc (opacity) maps per frame")
 
     pe = sub.add_parser("eval", parents=[common])
     pe.add_argument("--scene_index", type=int, default=0,
@@ -238,6 +241,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sigma cutoff for the .ply point cloud")
     px.add_argument("--out", default="export/field",
                     help="output prefix; writes <out>.npz and <out>.ply")
+    _bool_flag(px, "mesh", False,
+               "also extract a triangle mesh (marching tetrahedra at "
+               "the --threshold isosurface) to <out>_mesh.ply")
     return p
 
 
@@ -516,6 +522,15 @@ def cmd_render(args) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     t0 = time.time()
+    def save_depth_acc(stem, depth, acc):
+        # depth is the expected termination distance (ops/render.py):
+        # normalize by far so the PNG is scale-free; acc is already
+        # in [0, 1]. Grayscale as 3-channel for save_png.
+        dn = np.clip(np.asarray(depth) / cfg.camera.far, 0.0, 1.0)
+        save_png(stem + "-depth.png", np.repeat(dn[..., None], 3, -1))
+        an = np.clip(np.asarray(acc), 0.0, 1.0)
+        save_png(stem + "-acc.png", np.repeat(an[..., None], 3, -1))
+
     if args.view >= 0:
         o, d = dataset.view_rays(args.view)
         rgb, depth, acc = render_frame(cfg, state, o, d, mesh, render_fn)
@@ -523,6 +538,9 @@ def cmd_render(args) -> int:
         psnr = float(render_ops.psnr(rgb, gold))
         path = os.path.join(args.out_dir, f"view-{args.view}.png")
         save_png(path, np.asarray(rgb))
+        if args.depth:
+            save_depth_acc(os.path.join(args.out_dir,
+                                        f"view-{args.view}"), depth, acc)
         print(f"{path}  psnr={psnr:.2f}  ({time.time()-t0:.2f}s)")
         return 0
 
@@ -542,10 +560,16 @@ def cmd_render(args) -> int:
     h, w = cfg.camera.height, cfg.camera.width
     big_o = jnp.concatenate(all_o).reshape(args.frames * h, w, 3)
     big_d = jnp.concatenate(all_d).reshape(args.frames * h, w, 3)
-    rgb, _, _ = render_frame(cfg, state, big_o, big_d, mesh, render_fn)
+    rgb, depth, acc = render_frame(cfg, state, big_o, big_d, mesh, render_fn)
     rgb = np.asarray(rgb).reshape(args.frames, h, w, 3)
+    if args.depth:
+        depth = np.asarray(depth).reshape(args.frames, h, w)
+        acc = np.asarray(acc).reshape(args.frames, h, w)
     for i in range(args.frames):
         save_png(os.path.join(args.out_dir, f"frame-{i:03d}.png"), rgb[i])
+        if args.depth:
+            save_depth_acc(os.path.join(args.out_dir, f"frame-{i:03d}"),
+                           depth[i], acc[i])
     if args.gif:
         try:
             import imageio
@@ -658,6 +682,16 @@ def cmd_export(args) -> int:
         f"{xyz.shape[0]} points (sigma > {args.threshold}) -> "
         f"{args.out}.ply in {time.time()-t0:.1f}s"
     )
+    if args.mesh:
+        from .utils import mesh as mesh_mod
+
+        verts, faces, colors = mesh_mod.marching_tetrahedra(
+            sigma, args.threshold, args.export_aabb, rgb=rgb
+        )
+        mesh_path = args.out + "_mesh.ply"
+        mesh_mod.save_mesh_ply(mesh_path, verts, faces, colors)
+        print(f"mesh: {verts.shape[0]} verts / {faces.shape[0]} faces "
+              f"-> {mesh_path}")
     return 0
 
 

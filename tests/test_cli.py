@@ -72,6 +72,18 @@ def test_train_then_render_end_to_end(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "view-1.png"))
 
+    # --depth writes per-frame depth/acc maps alongside the rgb
+    rc = main(["render", *common, "--view", "1", "--out_dir", out_dir,
+               "--depth", "true"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "view-1-depth.png"))
+    assert os.path.exists(os.path.join(out_dir, "view-1-acc.png"))
+    rc = main(["render", *common, "--frames", "2", "--out_dir", out_dir,
+               "--depth", "true"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "frame-001-depth.png"))
+    assert os.path.exists(os.path.join(out_dir, "frame-001-acc.png"))
+
 
 def test_eval_subcommand(tmp_path):
     save_dir = str(tmp_path / "ckpt")
