@@ -58,6 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--lr_decay_steps", type=int, default=0,
                         help="exponential decay horizon (0 = constant lr, reference behavior)")
     common.add_argument("--lr_final", type=float, default=5e-6)
+    common.add_argument("--ema_decay", type=float, default=0.0,
+                        help="EMA of the trainable weights for eval/"
+                        "render (0 = off). Choose so the averaging "
+                        "window 1/(1-d) is a small fraction of "
+                        "num_iter (0.999 for 30k iters); averaging "
+                        "most of a fast-moving trajectory renders "
+                        "garbage (measured)")
     # --- rebuild extensions ---
     common.add_argument(
         "--dataset",
@@ -399,6 +406,7 @@ def config_from_args(args) -> "Config":
             logging_steps=args.logging_steps,
             save_steps=args.save_steps,
             accumulation_steps=args.accumulation_steps,
+            ema_decay=args.ema_decay,
             seed=args.seed,
             precision=args.precision,
             error_resample_frac=args.error_resample_frac,
@@ -467,6 +475,8 @@ def _restore_for_inference(args, cfg, mesh):
     from .train import checkpoint as ckpt
     from .train.step import init_state
 
+    from .train.step import with_ema_params
+
     scenes = _scene_list(args)
     key = jax.random.PRNGKey(cfg.train.seed)
     load_path = cfg.load_path or ckpt.latest_checkpoint(cfg.save_dir)
@@ -474,7 +484,9 @@ def _restore_for_inference(args, cfg, mesh):
         state = init_state(key, cfg)
         if load_path:
             state = ckpt.restore_weights(load_path, state)
-        return state, load_path
+        if state.ema is not None:
+            print("using EMA weights for inference")
+        return with_ema_params(state), load_path
     from .parallel import multiscene as ms_mod
 
     idx = getattr(args, "scene_index", 0)
@@ -482,7 +494,10 @@ def _restore_for_inference(args, cfg, mesh):
     template = ms_mod.init_multiscene_state(key, cfg, len(scenes))
     if load_path:
         template = ckpt.restore_weights(load_path, template)
-    return ms_mod.scene_state(template, idx), load_path
+    state = ms_mod.scene_state(template, idx)
+    if state.ema is not None:
+        print("using EMA weights for inference")
+    return with_ema_params(state), load_path
 
 
 def cmd_render(args) -> int:

@@ -205,6 +205,10 @@ class TrainConfig:
     logging_steps: int = 101  # cli.rs:58-59
     save_steps: int = 1001  # cli.rs:61-62
     accumulation_steps: int = 1  # latent in reference (model.rs:327-336)
+    # exponential moving average of the trainable weights, used for
+    # eval/render when > 0 (Instant-NGP-style; the raw weights keep
+    # training). 0 disables (reference behavior: no EMA anywhere).
+    ema_decay: float = 0.0
     seed: int = 0
     precision: str = "mixed"  # "f32" | "bf16" | "mixed" (bf16 matmul, f32 master)
     # highest-error ray resampling (reference README TODO, BASELINE

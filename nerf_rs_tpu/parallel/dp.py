@@ -127,16 +127,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
         grads = _pmean(grads)
         aux = _pmean(aux)
         aux["ray_err"] = ray_err
-        updates, opt_state = opt.update(grads, state.opt_state, trainable)
-        import optax
-
-        trainable = optax.apply_updates(trainable, updates)
-        params, fine_params = step_mod._untrainable(trainable, cfg)
-        new_state = state._replace(
-            step=state.step + 1, params=params, fine_params=fine_params,
-            opt_state=opt_state,
-        )
-        return new_state, aux
+        return step_mod.apply_grads(state, trainable, grads, opt, cfg), aux
 
     aux_spec = {
         "loss": P(), "loss_coarse": P(), "psnr": P(),
@@ -171,15 +162,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
             aux = _pmean(aux)
             aux["ray_err"] = ray_err
             aux["batch_idx"] = batch.idx
-            updates, opt_state = opt.update(grads, state.opt_state, trainable)
-            import optax
-
-            trainable = optax.apply_updates(trainable, updates)
-            params, fine_params = step_mod._untrainable(trainable, cfg)
-            new_state = state._replace(
-                step=state.step + 1, params=params, fine_params=fine_params,
-                opt_state=opt_state,
-            )
+            new_state = step_mod.apply_grads(state, trainable, grads, opt, cfg)
             return new_state, aux
 
         def _step_err(state: TrainState, images, pose_data, err_store,
@@ -217,15 +200,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
             new_store = update_error_store(
                 err_store, idx_all, err_all, cfg.train.error_resample_ema
             )
-            updates, opt_state = opt.update(grads, state.opt_state, trainable)
-            import optax
-
-            trainable = optax.apply_updates(trainable, updates)
-            params, fine_params = step_mod._untrainable(trainable, cfg)
-            new_state = state._replace(
-                step=state.step + 1, params=params, fine_params=fine_params,
-                opt_state=opt_state,
-            )
+            new_state = step_mod.apply_grads(state, trainable, grads, opt, cfg)
             return new_state, aux, new_store
 
         body = _step_err if err_frac > 0 else _step_sampling

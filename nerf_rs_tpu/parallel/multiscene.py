@@ -74,8 +74,6 @@ def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
         # 2-D: per-scene DP step — grads pmean over the data axis
         # between backward and update (the dp.py recipe, vmapped over
         # the shard's local scenes)
-        import optax
-
         opt = step_mod.make_optimizer(cfg)
         dshard = jax.lax.axis_index(DATA_AXIS)
 
@@ -94,13 +92,7 @@ def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
             grads = jax.lax.pmean(grads, DATA_AXIS)
             aux = jax.lax.pmean(aux, DATA_AXIS)
             aux["ray_err"] = ray_err
-            updates, opt_state = opt.update(grads, state.opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            params, fine_params = step_mod._untrainable(trainable, cfg)
-            return state._replace(
-                step=state.step + 1, params=params,
-                fine_params=fine_params, opt_state=opt_state,
-            ), aux
+            return step_mod.apply_grads(state, trainable, grads, opt, cfg), aux
 
         return jax.vmap(_scene_step)(states, batches, keys)
 

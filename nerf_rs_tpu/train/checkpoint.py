@@ -86,10 +86,12 @@ def restore(path: str, template: TrainState) -> TrainState:
         sd = serialization.msgpack_restore(f.read())
     if isinstance(sd, dict):
         for name in TrainState._fields:
-            if name not in sd:
-                sd[name] = serialization.to_state_dict(
-                    getattr(template, name)
-                )
+            tpl_sd = serialization.to_state_dict(getattr(template, name))
+            if name not in sd or (sd[name] is None and tpl_sd is not None):
+                # field missing (older format) or saved as None while
+                # this config populates it (e.g. resuming a pre-EMA run
+                # with --ema_decay): start from the template's value
+                sd[name] = tpl_sd
     return serialization.from_state_dict(template, sd)
 
 
@@ -127,11 +129,27 @@ def restore_weights(path: str, template: TrainState) -> TrainState:
     def _nonempty(v):
         return v is not None and not (isinstance(v, dict) and not v)
 
+    # EMA weights (cfg.train.ema_decay > 0 during training) should be
+    # restored for inference even when the eval config doesn't mention
+    # EMA: the template pytree is built from the params structure (a
+    # tuple when the checkpoint trained a second net — flax serializes
+    # tuples as {"0": ..., "1": ...}).
+    sd_ema = sd.get("ema")
+    if _nonempty(sd_ema) and template.ema is None:
+        if isinstance(sd_ema, dict) and set(sd_ema) == {"0", "1"}:
+            tpl = (template.params, template.fine_params)
+        else:
+            tpl = template.params
+        ema = serialization.from_state_dict(tpl, sd_ema)
+    else:
+        ema = _field("ema", template.ema)
+
     return template._replace(
         step=_field("step", template.step),
         params=_field("params", template.params),
         fine_params=_field("fine_params", template.fine_params),
         grid=_field("grid", template.grid),
+        ema=ema,
     )
 
 

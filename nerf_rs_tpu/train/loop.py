@@ -32,6 +32,7 @@ from ..utils.profiling import Throughput
 from ..utils.tb import NullLogger, TBLogger
 from ..utils.term import sparkline
 from . import checkpoint as ckpt
+from . import step as step_mod
 from .step import TrainState, init_state
 
 
@@ -236,7 +237,8 @@ def train_multiscene(
     def _eval_all(it):
         psnrs = []
         for s in range(n_scenes):
-            st = jax.device_get(ms_mod.scene_state(state, s))
+            st = step_mod.with_ema_params(
+                jax.device_get(ms_mod.scene_state(state, s)))
             o, d = datasets[s].view_rays(0)
             rgb, _, _ = render_frame(cfg, st, o, d, mesh1, render_fn)
             p = float(render_ops.psnr(rgb, datasets[s].view_gold(0)))
@@ -497,7 +499,10 @@ def train(
             eval_ds = eval_dataset if eval_dataset is not None else dataset
             eval_view = 0
             o, d = eval_ds.view_rays(eval_view)
-            rgb, depth, acc = render_frame(cfg, state, o, d, mesh, render_fn)
+            # eval sees the EMA weights when --ema_decay > 0 (identity
+            # otherwise); the raw weights keep training
+            rgb, depth, acc = render_frame(
+                cfg, step_mod.with_ema_params(state), o, d, mesh, render_fn)
             gold = eval_ds.view_gold(eval_view)
             m = render_ops.mse(rgb, gold)
             psnr = float(render_ops.psnr_from_mse(m))

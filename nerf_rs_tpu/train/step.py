@@ -36,6 +36,11 @@ class TrainState(NamedTuple):
     # (res, res, res) f32 EMA'd densities, updated OUTSIDE the train
     # step every occ_update_steps and checkpointed with the state.
     grid: Optional[jnp.ndarray] = None
+    # exponential moving average of the TRAINABLE pytree (params, or
+    # (params, fine_params) when a second net exists) when
+    # cfg.train.ema_decay > 0; eval/render swap it in via
+    # with_ema_params. None when EMA is off.
+    ema: Optional[Any] = None
 
 
 class Batch(NamedTuple):
@@ -102,8 +107,13 @@ def init_state(key: jax.Array, cfg: Config) -> TrainState:
         from ..ops import occupancy
 
         grid = occupancy.init_grid(cfg.render.occ_res)
+    ema = None
+    if cfg.train.ema_decay > 0.0:
+        # initialized to the weights themselves (no cold-start debias
+        # needed; matches common practice when EMA starts at init)
+        ema = jax.tree_util.tree_map(jnp.array, trainable)
     return TrainState(
-        jnp.zeros((), jnp.int32), params, fine_params, opt_state, grid
+        jnp.zeros((), jnp.int32), params, fine_params, opt_state, grid, ema
     )
 
 
@@ -483,10 +493,55 @@ def _trainable(state: TrainState, cfg: Config):
     return state.params
 
 
+def with_ema_params(state: TrainState) -> TrainState:
+    """State with the EMA weights swapped in for params/fine_params —
+    what eval/render should see when training ran with
+    --ema_decay > 0. Identity when no EMA is carried. The structure of
+    state.ema encodes whether a second net was trained (tuple) or not."""
+    if state.ema is None:
+        return state
+    if isinstance(state.ema, tuple):
+        return state._replace(params=state.ema[0], fine_params=state.ema[1])
+    return state._replace(params=state.ema)
+
+
 def _untrainable(trainable, cfg: Config):
     if _two_nets(cfg):
         return trainable
     return (trainable, None)
+
+
+def apply_grads(
+    state: TrainState, trainable, grads, opt, cfg: Config
+) -> TrainState:
+    """Shared optimizer tail: Adam update, params split, EMA update,
+    step increment. EVERY step body (single-device, DP, error-resample,
+    multi-scene) must go through this — a hand-rolled tail silently
+    skips the EMA update (the bug the first --ema_decay drive hit: eval
+    rendered the init weights forever)."""
+    updates, opt_state = opt.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    params, fine_params = _untrainable(trainable, cfg)
+    ema = state.ema
+    if cfg.train.ema_decay > 0.0 and ema is not None:
+        # DEBIASED EMA, stored bias-corrected: a raw EMA initialized at
+        # the init weights still carries d^t of them (22% after 300
+        # steps at d=0.995 — measured rendering garbage on the sphere
+        # drive). Store deb_t = raw_t / (1 - d^t) with raw_0 = 0, so
+        # the stored value is always an average of SEEN weights only
+        # and eval can swap it in directly at any step.
+        d = jnp.float32(cfg.train.ema_decay)
+        t_prev = state.step.astype(jnp.float32)
+        prev_scale = 1.0 - d ** t_prev  # 0 at the first step
+        new_scale = 1.0 - d ** (t_prev + 1.0)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: (d * prev_scale * e + (1.0 - d) * p) / new_scale,
+            ema, trainable,
+        )
+    return state._replace(
+        step=state.step + 1, params=params, fine_params=fine_params,
+        opt_state=opt_state, ema=ema,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -544,14 +599,7 @@ def train_step_core(
         aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
         aux["ray_err"] = ray_err
 
-    updates, opt_state = opt.update(grads, state.opt_state, trainable)
-    trainable = optax.apply_updates(trainable, updates)
-    params, fine_params = _untrainable(trainable, cfg)
-    new_state = state._replace(
-        step=state.step + 1, params=params, fine_params=fine_params,
-        opt_state=opt_state,
-    )
-    return new_state, aux
+    return apply_grads(state, trainable, grads, opt, cfg), aux
 
 
 @partial(jax.jit, static_argnames=("cfg",))
