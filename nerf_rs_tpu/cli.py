@@ -182,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
              "radiance field per scene, scene axis sharded over a "
              "(scene, data) mesh",
     )
+    common.add_argument("--distortion_weight", type=float, default=0.0,
+                        help="mip-NeRF 360 distortion loss weight on the "
+                             "finest pass (0 = off; the paper uses 0.01)")
     common.add_argument("--error_resample_frac", type=float, default=0.0,
                         help="fraction of rays drawn from the per-pixel error distribution")
     common.add_argument("--error_resample_ema", type=float, default=0.5)
@@ -407,6 +410,7 @@ def config_from_args(args) -> "Config":
             save_steps=args.save_steps,
             accumulation_steps=args.accumulation_steps,
             ema_decay=args.ema_decay,
+            distortion_weight=args.distortion_weight,
             seed=args.seed,
             precision=args.precision,
             error_resample_frac=args.error_resample_frac,

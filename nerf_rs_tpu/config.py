@@ -211,6 +211,12 @@ class TrainConfig:
     ema_decay: float = 0.0
     seed: int = 0
     precision: str = "mixed"  # "f32" | "bf16" | "mixed" (bf16 matmul, f32 master)
+    # mip-NeRF 360 distortion loss weight (eq. 15, arXiv 2111.12077):
+    # concentrates each ray's compositing weight into one compact
+    # cluster (floater suppression). Applied to the FINEST pass's
+    # weights (main pass under proposal sampling). 0 disables
+    # (reference behavior: no regularizers, src/model.rs:296-299).
+    distortion_weight: float = 0.0
     # highest-error ray resampling (reference README TODO, BASELINE
     # config 5): fraction of each batch drawn from the per-pixel error
     # distribution; 0 disables.

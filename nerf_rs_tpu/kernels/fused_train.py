@@ -71,7 +71,8 @@ def pack_weights_t(packed: PackedWeights, cfg: ModelConfig) -> PackedWeightsT:
 class TrainGrads(NamedTuple):
     """Kernel outputs in packed layout (unpack with unpack_grads)."""
 
-    diag: jnp.ndarray  # (N, 8): [r, g, b, acc, sqerr, 0, 0, 0]
+    diag: jnp.ndarray  # (N, 8): [r, g, b, acc, sqerr, dist, 0, 0]
+    # (dist = per-ray distortion loss when dist_weight > 0, else 0)
     weights: jnp.ndarray  # (N, S) compositing weights (PDF input for
     # the hierarchical fine pass; stop-gradded by construction — the
     # kernel emits values, no VJP flows through them)
@@ -100,6 +101,9 @@ def _train_kernel(
     white_bg: bool,
     loss_scale: float,  # d(loss)/d(sum of squared residuals) = 1/(3N)
     halves: int,  # sub-blocks interleaved for MXU/VPU overlap (1 or 2)
+    dist_scale: float,  # distortion-loss weight / N rays (0 = off)
+    dist_near: float,  # [near, far] normalizes sample positions for the
+    dist_inv_span: float,  # distortion loss (mip-NeRF 360 s-coords)
     o_ref, d_ref, vd_ref, ts_ref, deltas_ref, gold_ref,
     *refs,
 ):
@@ -228,13 +232,38 @@ def _train_kernel(
     if white_bg:
         C = each(lambda p: C[p] + (1.0 - acc_r[p]))
 
+    # mip-NeRF 360 distortion loss on the compositing weights (see
+    # ops/render.distortion_loss for the math): the inclusive prefix
+    # sums reuse the triangular-matmul machinery; A_i = d(L_inner)/dw_i
+    # / 2 feeds both the per-ray loss value (diag slot 5) and the
+    # backward's u-cotangent. Compile-time gated — zero cost when off.
+    if dist_scale != 0.0:
+        incl = (rs_i <= cs_i).astype(f32)
+        m = each(lambda p: (ts[p] - dist_near) * dist_inv_span)
+        dn = each(lambda p: deltas[p] * dist_inv_span)
+        cw = each(lambda p: jax.lax.dot_general(
+            w[p], incl, (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=f32))
+        cwm = each(lambda p: jax.lax.dot_general(
+            w[p] * m[p], incl, (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=f32))
+        wm_tot = each(lambda p: jnp.sum(
+            w[p] * m[p], axis=-1, keepdims=True))
+        dist_a = each(lambda p: (
+            m[p] * (2.0 * cw[p] - acc_r[p]) + wm_tot[p] - 2.0 * cwm[p]))
+        ldist = each(lambda p: jnp.sum(
+            w[p] * dist_a[p] + w[p] * w[p] * dn[p] * (1.0 / 3.0),
+            axis=-1, keepdims=True))
+
     gold = each(lambda p: sl(gold_ref, p))
     res = each(lambda p: C[p] - gold[p])  # (Rh, 3)
     sqerr = each(lambda p: jnp.mean(res[p] * res[p], axis=-1, keepdims=True))
     for p in range(H):
         w_ref[p * Rh:(p + 1) * Rh] = w[p]  # hierarchical PDF input
+        col5 = ldist[p] if dist_scale != 0.0 else jnp.zeros((Rh, 1), f32)
         diag_ref[p * Rh:(p + 1) * Rh] = jnp.concatenate(
-            [C[p], acc_r[p], sqerr[p], jnp.zeros((Rh, 3), f32)], axis=1
+            [C[p], acc_r[p], sqerr[p], col5, jnp.zeros((Rh, 2), f32)],
+            axis=1,
         )
 
     # ---- backward ----------------------------------------------------------
@@ -242,6 +271,12 @@ def _train_kernel(
     u = each(lambda p: jnp.sum(rgb_rs[p] * dC[p][:, None, :], axis=-1))
     if white_bg:
         u = each(lambda p: u[p] - jnp.sum(dC[p], axis=-1, keepdims=True))
+    if dist_scale != 0.0:
+        # dL_dist/dw_k = 2 A_k + (2/3) w_k d_k, added into the same
+        # u-cotangent the compositing VJP below consumes (sample
+        # positions are values — stop-grad per mip-NeRF 360)
+        u = each(lambda p: u[p] + dist_scale * (
+            2.0 * dist_a[p] + (2.0 / 3.0) * w[p] * dn[p]))
     drgb = each(lambda p: (
         w[p][:, :, None] * dC[p][:, None, :]).reshape(rows, 3))
 
@@ -348,7 +383,7 @@ def _train_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "white_bg", "rays_per_block",
-                     "interpret", "halves"),
+                     "interpret", "halves", "dist_weight", "near", "far"),
 )
 def fused_train_grads(
     packed: PackedWeights,
@@ -365,14 +400,20 @@ def fused_train_grads(
     rays_per_block: int = 64,
     interpret: bool = False,
     halves: int = 1,
+    dist_weight: float = 0.0,
+    near: float = 0.0,
+    far: float = 1.0,
 ) -> TrainGrads:
     """One fused forward+backward over N rays; N % rays_per_block == 0.
 
     Returns per-ray diagnostics and PACKED weight gradients of
-    loss = mean over rays and channels of (C - gold)^2. ``halves=2``
-    interleaves two ray sub-blocks per grid step for MXU/VPU overlap
-    (same math; dW contributions of the halves are summed in registers
-    before each VMEM accumulate).
+    loss = mean over rays and channels of (C - gold)^2, plus
+    dist_weight * the mean per-ray mip-NeRF 360 distortion loss when
+    dist_weight > 0 (per-ray values land in diag column 5; near/far
+    normalize sample positions). ``halves=2`` interleaves two ray
+    sub-blocks per grid step for MXU/VPU overlap (same math; dW
+    contributions of the halves are summed in registers before each
+    VMEM accumulate).
     """
     n = origins.shape[0]
     S = num_samples
@@ -439,6 +480,7 @@ def fused_train_grads(
     kernel = functools.partial(
         _train_kernel, depth, cfg.skip_layer, F, pos_pad, dir_pad, S, R,
         white_bg, loss_scale, halves,
+        dist_weight / n, near, 1.0 / (far - near),
     )
     flops_row = 2 * 3 * (
         pos_pad * W + (depth - 1) * W * W + pos_pad * W + W * (F + 128)

@@ -137,6 +137,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
         aux_spec["loss_fine"] = P()
     if cfg.proposal.enabled:
         aux_spec["loss_prop"] = P()
+    if cfg.train.distortion_weight > 0:
+        aux_spec["loss_dist"] = P()
 
     if dataset is not None:
         def _step_sampling(state: TrainState, images, pose_data,

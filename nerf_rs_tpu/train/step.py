@@ -201,6 +201,12 @@ def loss_fn(
     else:
         aux["psnr"] = render.psnr_from_mse(loss_c)
         finest = coarse
+    if cfg.train.distortion_weight > 0.0:
+        loss_d = render.distortion_loss(
+            finest.weights, finest.ts, cfg.camera.near, cfg.camera.far
+        )
+        loss = loss + cfg.train.distortion_weight * loss_d
+        aux["loss_dist"] = loss_d
     aux["loss"] = loss
     # per-ray error (stop-grad): drives highest-error resampling
     aux["ray_err"] = jax.lax.stop_gradient(
@@ -268,6 +274,13 @@ def _proposal_loss(
             jnp.mean((rgb_m[..., :3] - gold_rgb) ** 2, axis=-1)
         ),
     }
+    if cfg.train.distortion_weight > 0.0:
+        loss_d = render.distortion_loss(
+            w_m, ts_m, cfg.camera.near, cfg.camera.far
+        )
+        loss = loss + cfg.train.distortion_weight * loss_d
+        aux["loss_dist"] = loss_d
+        aux["loss"] = loss
     return loss, aux
 
 
@@ -324,7 +337,9 @@ def _whole_ray_proposal_grads(
         cfg.render.num_samples, cfg.render.randomized,
     )
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
-    grads_m, tg = _whole_ray_pass(params, batch, vd, ts_m, cfg)
+    dist_w = cfg.train.distortion_weight
+    grads_m, tg = _whole_ray_pass(params, batch, vd, ts_m, cfg,
+                                  dist=dist_w > 0.0)
     loss_photo = jnp.mean(tg.diag[:, 4])
 
     main_edges = prop_ops.edges_from_ts(ts_m)
@@ -345,6 +360,10 @@ def _whole_ray_proposal_grads(
         "psnr": render_ops.psnr_from_mse(loss_photo),
         "ray_err": jax.lax.stop_gradient(tg.diag[:, 4]),
     }
+    if dist_w > 0.0:
+        loss_d = jnp.mean(tg.diag[:, 5])
+        aux["loss_dist"] = loss_d
+        aux["loss"] = aux["loss"] + dist_w * loss_d
     return (grads_m, grads_p), aux
 
 
@@ -367,10 +386,11 @@ def whole_ray_supported(cfg: Config) -> bool:
 
 def _whole_ray_pass(
     params: Params, batch: Batch, vd: jnp.ndarray, ts: jnp.ndarray,
-    cfg: Config,
+    cfg: Config, dist: bool = False,
 ):
     """One fused fwd+bwd kernel launch over ``ts`` samples; returns
-    (grads pytree, TrainGrads)."""
+    (grads pytree, TrainGrads). ``dist`` applies the distortion loss
+    in-kernel (set on the FINEST pass only, matching loss_fn)."""
     from ..kernels.fused_render import pack_weights
     from ..kernels.fused_train import (
         fused_train_grads, pack_weights_t, unpack_grads,
@@ -395,6 +415,9 @@ def _whole_ray_pass(
         rays_per_block=rays_per_block,
         interpret=_kernel_interpret(cfg),
         halves=cfg.train.whole_ray_halves,
+        dist_weight=cfg.train.distortion_weight if dist else 0.0,
+        near=cfg.camera.near,
+        far=cfg.camera.far,
     )
     return unpack_grads(tg, params, cfg.model), tg
 
@@ -445,16 +468,23 @@ def whole_ray_grads(
             cfg.camera.far, cfg.render.randomized,
         )
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
-    grads_c, tg_c = _whole_ray_pass(params, batch, vd, ts, cfg)
+    dist_w = cfg.train.distortion_weight
+    one_pass = cfg.render.num_fine_samples == 0
+    grads_c, tg_c = _whole_ray_pass(params, batch, vd, ts, cfg,
+                                    dist=one_pass and dist_w > 0.0)
     loss_c = jnp.mean(tg_c.diag[:, 4])
 
-    if cfg.render.num_fine_samples == 0:
+    if one_pass:
         aux = {
             "loss": loss_c,
             "loss_coarse": loss_c,
             "psnr": render_ops.psnr_from_mse(loss_c),
             "ray_err": jax.lax.stop_gradient(tg_c.diag[:, 4]),
         }
+        if dist_w > 0.0:
+            loss_d = jnp.mean(tg_c.diag[:, 5])
+            aux["loss_dist"] = loss_d
+            aux["loss"] = loss_c + dist_w * loss_d
         return grads_c, aux
 
     # hierarchical fine pass on PDF-resampled ts (kernel weights are
@@ -470,7 +500,8 @@ def whole_ray_grads(
     else:
         all_ts = sampling.merge_ts(ts, fine_ts)
     fparams = fine_params if fine_params is not None else params
-    grads_f, tg_f = _whole_ray_pass(fparams, batch, vd, all_ts, cfg)
+    grads_f, tg_f = _whole_ray_pass(fparams, batch, vd, all_ts, cfg,
+                                    dist=dist_w > 0.0)
     loss_f = jnp.mean(tg_f.diag[:, 4])
 
     if fine_params is not None:
@@ -484,6 +515,10 @@ def whole_ray_grads(
         "psnr": render_ops.psnr_from_mse(loss_f),
         "ray_err": jax.lax.stop_gradient(tg_f.diag[:, 4]),
     }
+    if dist_w > 0.0:
+        loss_d = jnp.mean(tg_f.diag[:, 5])
+        aux["loss_dist"] = loss_d
+        aux["loss"] = aux["loss"] + dist_w * loss_d
     return grads, aux
 
 
