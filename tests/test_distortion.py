@@ -154,6 +154,37 @@ def test_loss_fn_wiring():
             float(loss), float(base + 0.1 * aux["loss_dist"]), rtol=1e-6)
 
 
+def test_dp_step_with_distortion():
+    """make_dp_train_step's aux spec must carry loss_dist over the
+    8-virtual-device mesh (shard_map out_specs enumerate aux keys)."""
+    from nerf_rs_tpu.ops import rays
+    from nerf_rs_tpu.data import synthetic
+    from nerf_rs_tpu.parallel import dp, mesh as mesh_mod
+    from nerf_rs_tpu.train import init_state
+    from nerf_rs_tpu.train.step import Batch
+
+    cfg = Config(
+        camera=CameraConfig(width=32, height=32, near=NEAR, far=FAR),
+        model=CFG,
+        render=RenderConfig(num_samples=S),
+        train=TrainConfig(num_rays=256, precision="f32",
+                          distortion_weight=0.01),
+    )
+    m = mesh_mod.make_mesh()
+    state = dp.place_state(init_state(jax.random.PRNGKey(0), cfg), m)
+    coords = jax.random.uniform(jax.random.PRNGKey(1), (256, 2)) * 31.0
+    o, d = rays.rays_for_coords(coords, None, cfg.camera)
+    img = synthetic.sphere_image(cfg.camera)
+    gold = img[coords[:, 1].astype(jnp.int32),
+               coords[:, 0].astype(jnp.int32), :3]
+    batch = dp.place_batch(Batch(o, d, gold), m)
+    step_fn = dp.make_dp_train_step(cfg, m)
+    state, aux = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert "loss_dist" in aux
+    assert np.isfinite(float(aux["loss_dist"]))
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_whole_ray_step_with_distortion_descends():
     """use_whole_ray_train + distortion_weight trains (interpret mode)
     and the distortion term itself decreases alongside the loss."""
