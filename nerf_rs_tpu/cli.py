@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
              ".py), or gather-free CP-factored multiresolution lines — "
              "the TPU-native fast field (models/factored.py)",
     )
+    _bool_flag(common, "ipe", False,
+               "mip-NeRF integrated positional encoding: anti-aliased "
+               "conical-frustum interval sampling (arch=nerf, XLA path; "
+               "--preset mipnerf for the full recipe)")
     common.add_argument("--hash_levels", type=int, default=16,
                         help="hashgrid resolution levels")
     common.add_argument("--hash_table_log2", type=int, default=19,
@@ -204,7 +208,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--preset", default="",
         choices=["", "tiny", "full", "hierarchical", "record", "proposal",
-                 "pod", "ngp", "factored"],
+                 "pod", "ngp", "factored", "mipnerf"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
@@ -214,7 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
              "48.80 dB quality-record config, README); "
              "pod = DP + highest-error resampling (config 5); "
              "ngp = Instant-NGP hash-grid field; factored = gather-free "
-             "CP multiresolution field (TPU-native fast family)",
+             "CP multiresolution field (TPU-native fast family); "
+             "mipnerf = anti-aliased IPE interval sampling "
+             "(64+128 standalone, one MLP)",
     )
 
     # train / render / eval / export subcommands (reference surface +
@@ -333,6 +339,13 @@ def _apply_preset(args):
         _set(arch="factored", sigma_activation="softplus",
              learning_rate=1e-2, num_samples=128,
              white_background=True)
+    elif p == "mipnerf":
+        # mip-NeRF (arXiv 2103.13415): IPE conical-frustum intervals,
+        # ONE MLP for both levels, fine intervals composited standalone
+        # (the paper's own scheme); softplus density per the paper
+        _set(ipe=True, share_network=True, fine_mode="standalone",
+             num_samples=64, num_fine_samples=128,
+             sigma_activation="softplus", white_background=True)
     return args
 
 
@@ -370,6 +383,7 @@ def config_from_args(args) -> "Config":
             fac_aabb=args.fac_aabb,
             fac_l1=args.fac_l1,
             sigma_activation=args.sigma_activation,
+            ipe=args.ipe,
         )
         render_cfg = RenderConfig(
             num_samples=args.num_samples,

@@ -72,6 +72,14 @@ class ModelConfig:
     # multiresolution lines, gather-free — the TPU-native fast field,
     # models/factored.py). compat=True overrides.
     arch: str = "nerf"
+    # mip-NeRF integrated positional encoding (arXiv 2103.13415): each
+    # sample is a conical-frustum Gaussian (mean, diag cov) and gamma
+    # encodes its EXPECTED sinusoids, E[sin(2^l x)] =
+    # sin(2^l mu) exp(-4^l var / 2) — high frequencies self-attenuate
+    # with footprint, the anti-aliasing mechanism. Same trunk/head
+    # weights as arch="nerf" (the encoding dim is unchanged). XLA path
+    # only (the fused kernels encode points, not Gaussians).
+    ipe: bool = False
     hash_levels: int = 16  # L resolution levels
     hash_features: int = 2  # F features per level entry
     hash_table_log2: int = 19  # log2(T) entries per level
@@ -319,6 +327,24 @@ class Config:
                 "sample-placement mechanisms with no defined composition "
                 "(the proposal path ignores the grid)"
             )
+        if self.model.ipe:
+            if self.model.arch != "nerf" or self.model.compat:
+                raise ValueError("--ipe requires the paper arch "
+                                 "(arch=nerf, compat off)")
+            if (self.render.num_fine_samples > 0
+                    and self.render.fine_mode != "standalone"):
+                raise ValueError(
+                    "--ipe hierarchical sampling composites the resampled "
+                    "intervals standalone (mip-NeRF's scheme) — set "
+                    "--fine_mode standalone"
+                )
+            if (self.proposal.enabled or self.render.occ_res > 0
+                    or self.render.compat_sampling):
+                raise ValueError(
+                    "--ipe supports stratified + hierarchical interval "
+                    "sampling only (no proposal/occupancy/compat "
+                    "samplers: they emit point samples, not intervals)"
+                )
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

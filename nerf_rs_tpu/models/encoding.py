@@ -41,6 +41,36 @@ def posenc_dim(in_dim: int, levels: int, include_input: bool = True) -> int:
     return in_dim * (2 * levels + (1 if include_input else 0))
 
 
+def integrated_posenc(
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    levels: int,
+    include_input: bool = True,
+) -> jnp.ndarray:
+    """mip-NeRF integrated positional encoding (arXiv 2103.13415 eq. 14).
+
+    Encodes a diagonal Gaussian (mean, var) instead of a point: the
+    expected sinusoid under the Gaussian is the sinusoid of the mean
+    damped by exp(-freq^2 var / 2), so frequencies whose period is
+    smaller than the sample footprint self-attenuate toward zero —
+    the anti-aliasing mechanism. Output layout and dim match
+    ``posenc`` exactly (include_input prepends the mean), so the same
+    MLP weights consume either encoding; var -> 0 reduces to posenc.
+    """
+    if levels == 0:
+        return mean
+    scales = 2.0 ** jnp.arange(levels, dtype=mean.dtype)  # (L,)
+    xb = mean[..., None, :] * scales[:, None]  # (..., L, D)
+    damp = jnp.exp(-0.5 * var[..., None, :] * (scales * scales)[:, None])
+    four = jnp.concatenate(
+        [jnp.sin(xb) * damp, jnp.cos(xb) * damp], axis=-1
+    )  # (..., L, 2D)
+    flat = four.reshape(*mean.shape[:-1], -1)
+    if include_input:
+        return jnp.concatenate([mean, flat], axis=-1)
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # Screen-space encodings from the reference (src/input_transforms.rs),
 # vectorized. Inputs are (..., 2) pixel coords as (row y, col x), matching

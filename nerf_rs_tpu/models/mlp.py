@@ -163,6 +163,7 @@ def apply_nerf(
     dtype=None,
     noise_std: float = 0.0,
     noise_key: jax.Array = None,
+    pos_var: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate the radiance field.
 
@@ -175,6 +176,8 @@ def apply_nerf(
       noise_std/noise_key: paper-appendix regularizer — Gaussian noise
         added to RAW sigma BEFORE the activation (the paper perturbs
         pre-activation density; adding it post-relu changes semantics).
+      pos_var: (..., 3) diagonal covariance of each sample Gaussian
+        (mip-NeRF IPE; used when cfg.ipe — `points` is then the mean).
     Returns:
       sigma (...,) after cfg.sigma_activation, rgb (..., 3) in [0,1]
       (for compat: rgba (..., 4) — channel semantics of
@@ -195,7 +198,17 @@ def apply_nerf(
         )
         sigma_raw = _sigma_noise(sigma_raw, noise_std, noise_key)
         return _sigma_act(sigma_raw, cfg), rgb
-    x = posenc(points, cfg.pos_enc_levels, cfg.include_input_in_enc)
+    if cfg.ipe and pos_var is not None:
+        # mip-NeRF: `points` is the Gaussian mean, pos_var its diagonal
+        # covariance; the encoding dim matches posenc so the same trunk
+        # weights serve both (models/encoding.integrated_posenc)
+        from .encoding import integrated_posenc
+
+        x = integrated_posenc(
+            points, pos_var, cfg.pos_enc_levels, cfg.include_input_in_enc
+        )
+    else:
+        x = posenc(points, cfg.pos_enc_levels, cfg.include_input_in_enc)
     if dtype is not None and dtype != jnp.float32:
         x = x.astype(dtype)
     h = x

@@ -142,14 +142,91 @@ def compat_predict(
 
 def fused_supported(model_cfg: ModelConfig) -> bool:
     """The fused Pallas kernels cover the flagship paper architecture;
-    compat and hashgrid configs run the XLA path."""
+    compat, hashgrid, and IPE (interval-Gaussian encoding) configs run
+    the XLA path."""
     return (
         not model_cfg.compat
         and model_cfg.arch == "nerf"
+        and not model_cfg.ipe
         and model_cfg.use_viewdirs
         and model_cfg.rgb_activation == "sigmoid"
         and model_cfg.include_input_in_enc
     )
+
+
+def _render_rays_ipe(
+    params: Params,
+    flat_o: jnp.ndarray,
+    flat_d: jnp.ndarray,
+    key: jax.Array,
+    model_cfg: ModelConfig,
+    render_cfg: RenderConfig,
+    camera: CameraConfig,
+    rand: bool,
+    dtype,
+    n_rays_shape,
+    fine_params: Optional[Params] = None,
+):
+    """mip-NeRF rendering (arXiv 2103.13415): stratified INTERVAL edges
+    along a cone per ray, each interval a conical-frustum Gaussian
+    encoded with IPE (models/encoding.integrated_posenc), composited
+    over exact interval lengths. Hierarchical resampling draws new
+    edges from the coarse weight histogram and composites the fine
+    intervals standalone (mip-NeRF's own two-level scheme; one MLP
+    unless a separate fine net is configured). XLA path only —
+    Config.__post_init__ validates the sampler constraints.
+    """
+    from . import sampling
+
+    n = flat_o.shape[0]
+    S = render_cfg.num_samples
+    k_coarse, k_fine = jax.random.split(key)
+    base_r = sampling.pixel_radius(camera)
+    viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
+    noise_std = render_cfg.raw_noise_std if rand else 0.0
+
+    def ipe_pass(pass_params, edges, noise_key):
+        mean, var, t_mids, deltas = sampling.conical_gaussians(
+            flat_o, flat_d, edges, base_r
+        )
+        sigma, rgb = apply_nerf(
+            pass_params, mean, viewdirs[..., None, :], model_cfg, dtype,
+            noise_std=noise_std, noise_key=noise_key, pos_var=var,
+        )
+        return composite(
+            sigma, rgb[..., :3], deltas,
+            white_background=render_cfg.white_background, ts=t_mids,
+        )
+
+    edges = sampling.stratified_ts(
+        k_coarse, n, S + 1, camera.near, camera.far, rand
+    )
+    coarse = ipe_pass(params, edges, jax.random.fold_in(k_coarse, 1))
+
+    fine = None
+    if render_cfg.num_fine_samples > 0:
+        # resample S_f + 1 new edges from the coarse interval histogram
+        # (the edges ARE the histogram bins — no midpoint construction)
+        fine_edges = sampling.sample_pdf(
+            k_fine, edges, coarse.weights,
+            render_cfg.num_fine_samples + 1, rand,
+        )
+        fine = ipe_pass(
+            fine_params if fine_params is not None else params,
+            fine_edges, jax.random.fold_in(k_fine, 1),
+        )
+
+    def unflatten(out: RenderOut) -> RenderOut:
+        return RenderOut(
+            rgb=out.rgb.reshape(*n_rays_shape, 3),
+            weights=out.weights.reshape(*n_rays_shape, -1),
+            sigma=out.sigma.reshape(*n_rays_shape, -1),
+            depth=out.depth.reshape(n_rays_shape),
+            acc=out.acc.reshape(n_rays_shape),
+            ts=out.ts.reshape(*n_rays_shape, -1),
+        )
+
+    return unflatten(coarse), (unflatten(fine) if fine is not None else None)
 
 
 def render_rays(
@@ -191,6 +268,12 @@ def render_rays(
     flat_d = dirs.reshape(-1, 3)
     n = flat_o.shape[0]
     k_coarse, k_fine = jax.random.split(key)
+
+    if model_cfg.ipe:
+        return _render_rays_ipe(
+            params, flat_o, flat_d, key, model_cfg, render_cfg, camera,
+            rand, dtype, n_rays_shape, fine_params=fine_params,
+        )
 
     if prop_params is not None and not render_cfg.compat_sampling:
         from . import proposal as prop_ops

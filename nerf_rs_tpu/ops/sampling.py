@@ -91,6 +91,64 @@ def points_from_ts(
     return origins[..., None, :] + ts[..., :, None] * dirs[..., None, :]
 
 
+def conical_gaussians(
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    edges: jnp.ndarray,
+    base_radius: float,
+):
+    """Per-interval conical-frustum Gaussians for mip-NeRF IPE
+    (arXiv 2103.13415 eqs. 7 + 16, the stable reparameterization).
+
+    Each of the S = edges.shape[-1]-1 intervals [t0, t1] along a cone of
+    base radius ``base_radius`` (the pixel footprint at unit distance)
+    is approximated by a Gaussian with mean o + t_mean * d and a
+    diagonal covariance split into an along-ray variance t_var and a
+    perpendicular variance r_var. t_mean is the frustum's exact center
+    of mass in t (density ~ t^2, the cone's cross-section area):
+    E[t] = mu + 2 mu hw^2 / (3 mu^2 + hw^2) for mu = (t0+t1)/2,
+    hw = (t1-t0)/2 — asserted against the closed integral in tests.
+
+    Returns (mean (..., S, 3), var (..., S, 3), t_mids (..., S),
+    deltas (..., S)); deltas are the exact interval lengths (no far
+    append — the last edge IS the far plane).
+    """
+    t0, t1 = edges[..., :-1], edges[..., 1:]
+    mu = 0.5 * (t0 + t1)
+    hw = 0.5 * (t1 - t0)
+    mu2, hw2 = mu * mu, hw * hw
+    denom = 3.0 * mu2 + hw2
+    t_mean = mu + 2.0 * mu * hw2 / denom
+    t_var = hw2 / 3.0 - (4.0 / 15.0) * (
+        hw2 * hw2 * (12.0 * mu2 - hw2) / (denom * denom)
+    )
+    r_var = base_radius * base_radius * (
+        mu2 / 4.0 + (5.0 / 12.0) * hw2 - (4.0 / 15.0) * hw2 * hw2 / denom
+    )
+    d2 = dirs * dirs  # (..., 3)
+    dnorm2 = jnp.maximum(
+        jnp.sum(d2, axis=-1, keepdims=True), 1e-10
+    )
+    mean = origins[..., None, :] + t_mean[..., :, None] * dirs[..., None, :]
+    var = (
+        t_var[..., :, None] * d2[..., None, :]
+        + r_var[..., :, None] * (1.0 - d2[..., None, :] / dnorm2[..., None, :])
+    )
+    return mean, var, mu, t1 - t0
+
+
+def pixel_radius(camera) -> float:
+    """Pixel footprint at unit distance along the ray: the cone base
+    radius for mip-NeRF sampling (2/sqrt(12) x the pixel's world width,
+    the mip-NeRF convention)."""
+    import math
+
+    focal = camera.focal
+    if focal is None:
+        focal = 0.5 * camera.width / math.tan(0.5 * camera.fov)
+    return float(2.0 / math.sqrt(12.0) / focal)
+
+
 def sample_pdf(
     key: jax.Array,
     bins: jnp.ndarray,
