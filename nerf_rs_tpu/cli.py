@@ -245,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--split", default="test", help="dataset split (blender) to evaluate")
     pe.add_argument("--max_views", type=int, default=0, help="0 = all views")
     pe.add_argument("--out_dir", default="", help="optionally dump per-view renders")
+    pe.add_argument(
+        "--scales", default="",
+        help="comma-separated integer downscales (e.g. 1,2,4,8): render "
+             "each view at H/s x W/s against box-downsampled gold and "
+             "report per-scale PSNR — the mip-NeRF multiscale "
+             "anti-aliasing benchmark (--ipe models widen their pixel "
+             "footprint with s; point-sampled models alias)")
 
     px = sub.add_parser("export", parents=[common])
     px.add_argument("--scene_index", type=int, default=0,
@@ -662,24 +669,47 @@ def cmd_eval(args) -> int:
     from .ops.metrics import ssim as ssim_fn
 
     n = dataset.num_views if args.max_views <= 0 else min(args.max_views, dataset.num_views)
-    psnrs, ssims = [], []
+    scales = [int(s) for s in args.scales.split(",") if s] or [1]
+    per_scale = {}  # scale -> (psnrs, ssims)
     t0 = time.time()
-    for v in range(n):
-        o, d = dataset.view_rays(v)
-        rgb, _, _ = render_frame(cfg, state, o, d, mesh, render_fn)
-        gold = dataset.view_gold(v)
-        p = float(render_ops.psnr(rgb, gold))
-        s = float(ssim_fn(rgb[..., :3], gold[..., :3]))
-        psnrs.append(p)
-        ssims.append(s)
-        print(f"view {v:3d}: psnr {p:.2f}  ssim {s:.4f}")
-        if args.out_dir:
-            save_png(os.path.join(args.out_dir, f"eval-{v:03d}.png"), np.asarray(rgb))
-    print(
-        f"mean psnr over {n} {args.split} views: {np.mean(psnrs):.2f} "
-        f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f}), "
-        f"mean ssim {np.mean(ssims):.4f} in {time.time()-t0:.1f}s"
-    )
+    for scale in scales:
+        # each scale is its own compiled render program (static camera);
+        # --ipe models widen their conical footprint by `scale` through
+        # the scaled camera (data/device_dataset.scaled_camera)
+        if scale == 1:
+            scfg, sfn = cfg, render_fn
+        else:
+            scfg = dataclasses.replace(
+                cfg, camera=dataset.scaled_camera(scale))
+            sfn = dp.make_dp_render(scfg, mesh)
+        psnrs, ssims = per_scale.setdefault(scale, ([], []))
+        tag = f" 1/{scale}" if len(scales) > 1 else ""
+        for v in range(n):
+            o, d = dataset.view_rays(v, scale=scale)
+            rgb, _, _ = render_frame(scfg, state, o, d, mesh, sfn)
+            gold = dataset.view_gold(v, scale=scale)
+            p = float(render_ops.psnr(rgb, gold))
+            s = float(ssim_fn(rgb[..., :3], gold[..., :3]))
+            psnrs.append(p)
+            ssims.append(s)
+            print(f"view {v:3d}{tag}: psnr {p:.2f}  ssim {s:.4f}")
+            if args.out_dir:
+                suffix = f"-s{scale}" if len(scales) > 1 else ""
+                save_png(os.path.join(args.out_dir, f"eval-{v:03d}{suffix}.png"),
+                         np.asarray(rgb))
+    for scale in scales:
+        psnrs, ssims = per_scale[scale]
+        tag = f" at 1/{scale}" if len(scales) > 1 else ""
+        print(
+            f"mean psnr over {n} {args.split} views{tag}: {np.mean(psnrs):.2f} "
+            f"(min {np.min(psnrs):.2f}, max {np.max(psnrs):.2f}), "
+            f"mean ssim {np.mean(ssims):.4f} in {time.time()-t0:.1f}s"
+        )
+    if len(scales) > 1:
+        allp = [p for ps, _ in per_scale.values() for p in ps]
+        alls = [s for _, ss in per_scale.values() for s in ss]
+        print(f"multiscale mean psnr: {np.mean(allp):.2f}, "
+              f"mean ssim {np.mean(alls):.4f}")
     return 0
 
 

@@ -22,6 +22,7 @@ important for the 800x800 scenes.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -260,20 +261,46 @@ class DeviceDataset:
 
     # -- eval / render helpers ----------------------------------------------
 
-    def view_rays(self, view: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full-frame (H, W) rays for one training view."""
+    def scaled_camera(self, scale: int) -> CameraConfig:
+        """The camera that shoots one ray per ``scale`` x ``scale`` pixel
+        block: same FOV, 1/scale resolution (and focal, when explicit).
+        The IPE pixel footprint (ops/sampling.pixel_radius) widens by
+        ``scale`` through it — multiscale anti-aliased rendering
+        (mip-NeRF, arXiv 2103.13415 §4) needs no other plumbing."""
+        cam = self.camera
+        assert self.height % scale == 0 and self.width % scale == 0, (
+            self.height, self.width, scale)
+        return dataclasses.replace(
+            cam, width=cam.width // scale, height=cam.height // scale,
+            focal=None if cam.focal is None else cam.focal / scale,
+        )
+
+    def view_rays(
+        self, view: int, scale: int = 1
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full-frame (H/scale, W/scale) rays for one training view,
+        through the centers of ``scale``-wide pixel blocks."""
+        camera = self.camera if scale == 1 else self.scaled_camera(scale)
         if self.mode == "angles":
             a = self.pose_data[view]
             pose = rays_ops.pose_from_yaw_pitch(a[0], a[1])
-            return rays_ops.ray_grid(pose, self.camera)
+            return rays_ops.ray_grid(pose, camera)
         return rays_ops.ray_grid_c2w(
-            self.pose_data[view], self.height, self.width, self.camera.focal
+            self.pose_data[view], self.height // scale, self.width // scale,
+            self.camera.focal / scale,
         )
 
-    def view_gold(self, view: int) -> jnp.ndarray:
-        """Gold (H, W, 3) frame for PSNR eval."""
+    def view_gold(self, view: int, scale: int = 1) -> jnp.ndarray:
+        """Gold (H/scale, W/scale, 3) frame for PSNR eval. ``scale`` > 1
+        box-downsamples (the area average IS the anti-aliased reference
+        a correctly prefiltered render should match; alpha compositing
+        happens before averaging, matching a downsample of the
+        composited frame)."""
         px = self.images[view].astype(jnp.float32) / 255.0
         rgb, alpha = px[..., :3], px[..., 3:4]
         if self.white_background:
             rgb = rgb * alpha + (1.0 - alpha)
+        if scale > 1:
+            h, w = self.height // scale, self.width // scale
+            rgb = rgb.reshape(h, scale, w, scale, 3).mean(axis=(1, 3))
         return rgb

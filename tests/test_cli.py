@@ -101,6 +101,13 @@ def test_eval_subcommand(tmp_path):
     assert rc == 0
     rc = main(["eval", *common, "--max_views", "2"])
     assert rc == 0
+    # multiscale eval (mip-NeRF anti-aliasing benchmark surface): each
+    # scale renders at H/s x W/s against box-downsampled gold
+    out_dir = str(tmp_path / "evals")
+    rc = main(["eval", *common, "--max_views", "1",
+               "--scales", "1,2", "--out_dir", out_dir])
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["eval-000-s1.png", "eval-000-s2.png"]
     # no checkpoint -> clean error
     rc = main(["eval", *common, "--save_dir", str(tmp_path / "nope")])
     assert rc == 1

@@ -140,6 +140,59 @@ def test_mipnerf_preset_cli():
     assert cfg.render.num_fine_samples == 128
 
 
+def test_scaled_camera_widens_footprint():
+    """Multiscale eval (cli eval --scales): the 1/s camera must widen
+    the IPE cone base radius by exactly s, for both fov-derived and
+    explicit-focal cameras."""
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset
+
+    imgs = np.zeros((2, 16, 16, 4), np.uint8)
+    for cam in (CameraConfig(width=16, height=16),
+                CameraConfig(width=16, height=16, focal=20.0)):
+        ds = DeviceDataset(imgs, cam, angles=np.zeros((2, 2), np.float32))
+        r1 = sampling.pixel_radius(cam)
+        r4 = sampling.pixel_radius(ds.scaled_camera(4))
+        assert r4 == pytest.approx(4.0 * r1, rel=1e-6)
+        o, d = ds.view_rays(0, scale=4)
+        assert o.shape == (4, 4, 3)
+
+
+def test_view_gold_box_downsample():
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (1, 8, 8, 4), dtype=np.uint8)
+    imgs[..., 3] = 255
+    cam = CameraConfig(width=8, height=8)
+    ds = DeviceDataset(imgs, cam, angles=np.zeros((1, 2), np.float32))
+    full = np.asarray(ds.view_gold(0))
+    half = np.asarray(ds.view_gold(0, scale=2))
+    assert half.shape == (4, 4, 3)
+    np.testing.assert_allclose(
+        half[0, 0], full[:2, :2].mean(axis=(0, 1)), rtol=1e-6)
+    np.testing.assert_allclose(half.mean(), full.mean(), rtol=1e-6)
+
+
+def test_multiscale_render_matches_block_mean_better():
+    """The anti-aliasing claim in miniature: render an UNTRAINED but
+    fixed random field at 1/2 scale; the scaled camera must at least
+    produce the right shapes and finite output through render_rays
+    (the quality A/B lives in the chip protocol, docs/PERFORMANCE.md)."""
+    cfg = _cfg()
+    params = init_nerf_params(jax.random.PRNGKey(3), cfg.model)
+    from nerf_rs_tpu.data.device_dataset import DeviceDataset
+
+    imgs = np.zeros((1, 32, 32, 4), np.uint8)
+    ds = DeviceDataset(imgs, cfg.camera, angles=np.zeros((1, 2), np.float32))
+    o, d = ds.view_rays(0, scale=2)
+    out, _ = render.render_rays(
+        params, o.reshape(-1, 3), d.reshape(-1, 3), jax.random.PRNGKey(0),
+        cfg.model, cfg.render, ds.scaled_camera(2), randomized=False,
+    )
+    assert out.rgb.shape == (16 * 16, 3)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+
+
 @pytest.mark.slow
 def test_ipe_training_descends():
     """The IPE path must train end-to-end through loss_fn/train_step."""
