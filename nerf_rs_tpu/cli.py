@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                "mip-NeRF integrated positional encoding: anti-aliased "
                "conical-frustum interval sampling (arch=nerf, XLA path; "
                "--preset mipnerf for the full recipe)")
+    common.add_argument(
+        "--multiscale_levels", type=int, default=1,
+        help="mip-NeRF multiscale training: >1 samples each batch "
+             "across a 1/1..1/2^(L-1) box pyramid, rays carrying their "
+             "level's cone radius (pairs with --ipe; also the paper's "
+             "point-sampled multiscale baseline without it)")
     common.add_argument("--hash_levels", type=int, default=16,
                         help="hashgrid resolution levels")
     common.add_argument("--hash_table_log2", type=int, default=19,
@@ -451,6 +457,7 @@ def config_from_args(args) -> "Config":
             use_native_loader=args.use_native_loader,
             data_workers=args.data_workers,
             shard_pixel_store=args.shard_pixel_store,
+            multiscale_levels=args.multiscale_levels,
         ),
         proposal=ProposalConfig(
             enabled=args.use_proposal,

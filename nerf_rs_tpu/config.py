@@ -284,6 +284,16 @@ class DataConfig:
     prefetch: int = 2  # async host pipeline depth (host mode)
     use_native_loader: bool = True  # C++ batch assembler when built (host mode)
     data_workers: int = 1  # parallel host assembly threads (host mode)
+    # mip-NeRF multiscale training (arXiv 2103.13415 §4): >1 builds a
+    # box-downsampled pixel pyramid with this many levels (1/1 .. 1/2^(L-1))
+    # and every batch draws equal ray counts per level, each ray carrying
+    # its level's cone radius (Batch.radii; consumed by --ipe, ignored by
+    # point-sampled models — the paper's "NeRF on multiscale" baseline).
+    # Equal per-level counts reproduce the paper's area-weighted loss in
+    # expectation: union sampling weights levels by pixel count 4^-l and
+    # then multiplies each loss by area 4^l — a constant per-level weight,
+    # which equal partitioning gives directly with unit loss weights.
+    multiscale_levels: int = 1
 
 
 @dataclass(frozen=True)
@@ -327,6 +337,23 @@ class Config:
                 "sample-placement mechanisms with no defined composition "
                 "(the proposal path ignores the grid)"
             )
+        if self.data.multiscale_levels > 1:
+            if self.data.batch_mode != "per_ray":
+                raise ValueError(
+                    "--multiscale_levels needs per_ray batches (the "
+                    "level partition lives in the on-device sampler)"
+                )
+            if self.train.error_resample_frac > 0:
+                raise ValueError(
+                    "--multiscale_levels is incompatible with error "
+                    "resampling (the error store indexes full-res pixels)"
+                )
+            if self.data.shard_pixel_store:
+                raise ValueError(
+                    "--multiscale_levels with --shard_pixel_store is not "
+                    "supported (shard the full-res store or the pyramid, "
+                    "not both)"
+                )
         if self.model.ipe:
             if self.model.arch != "nerf" or self.model.compat:
                 raise ValueError("--ipe requires the paper arch "

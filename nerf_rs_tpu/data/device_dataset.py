@@ -74,6 +74,75 @@ def _sample_per_ray(
 
 @partial(
     jax.jit,
+    static_argnames=("num_rays", "mode", "white_background", "camera",
+                     "height", "width", "num_views"),
+)
+def _sample_per_ray_ms(
+    ms_images, pose_data, key, num_rays, mode, white_background, camera,
+    height, width, num_views,
+) -> Batch:
+    """Multiscale ``per_ray`` sampling (mip-NeRF, arXiv 2103.13415 §4):
+    the batch is partitioned into len(ms_images) equal level blocks;
+    level l draws (view, x, y) iid on the 1/2^l pyramid store and its
+    rays carry the 2^l-wide cone radius (Batch.radii). Equal per-level
+    counts == the paper's area-weighted union sampling in expectation
+    (see DataConfig.multiscale_levels)."""
+    from ..ops.sampling import pixel_radius
+
+    L = len(ms_images)
+    counts = [num_rays // L] * L
+    counts[0] += num_rays - sum(counts)
+    parts = []
+    for lvl, (imgs_l, n_l) in enumerate(zip(ms_images, counts)):
+        kv, kx, ky = jax.random.split(jax.random.fold_in(key, lvl), 3)
+        h_l, w_l = height >> lvl, width >> lvl
+        cam_l = dataclasses.replace(
+            camera, width=w_l, height=h_l,
+            focal=None if camera.focal is None else camera.focal / (1 << lvl),
+        )
+        view_idx = jax.random.randint(kv, (n_l,), 0, num_views)
+        xi = jax.random.randint(kx, (n_l,), 0, w_l)
+        yi = jax.random.randint(ky, (n_l,), 0, h_l)
+        coords = jnp.stack([xi, yi], axis=-1).astype(jnp.float32)
+        o, d = _make_rays(pose_data, mode, coords, view_idx, cam_l, h_l, w_l)
+        gold = _gather_gold(imgs_l, view_idx, xi, yi, white_background)
+        radii = jnp.full((n_l,), pixel_radius(cam_l), jnp.float32)
+        # diagnostics id in the LEVEL-0 namespace: the block's corner pixel
+        idx = (view_idx * height + (yi << lvl)) * width + (xi << lvl)
+        parts.append(Batch(o, d, gold, idx=idx, radii=radii))
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+    )
+
+
+def build_pyramid(images: np.ndarray, levels: int,
+                  white_background: bool) -> Tuple[np.ndarray, ...]:
+    """Host-side box pyramid of a (V, H, W, 4) uint8 RGBA store.
+
+    Level l > 0 stores the 2^l-box average of the level-0 GOLD value
+    (alpha composited per the dataset's background convention FIRST,
+    then area-averaged — the order ``view_gold(v, scale)`` uses) with
+    alpha=255, so ``_gather_gold`` returns the stored value unchanged in
+    either background mode. Matches view_gold up to uint8 rounding."""
+    out = [images]
+    v, h, w, _ = images.shape
+    f = images.astype(np.float32)
+    rgb, a = f[..., :3], f[..., 3:4] / 255.0
+    gold = rgb * a + 255.0 * (1.0 - a) if white_background else rgb
+    for lvl in range(1, levels):
+        s = 1 << lvl
+        assert h % s == 0 and w % s == 0, (h, w, s)
+        mean = gold.reshape(v, h // s, s, w // s, s, 3).mean(axis=(2, 4))
+        lvl_img = np.concatenate(
+            [np.clip(mean, 0, 255),
+             np.full(mean.shape[:-1] + (1,), 255.0, np.float32)], axis=-1
+        )
+        out.append(np.round(lvl_img).astype(np.uint8))
+    return tuple(out)
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "num_rays", "views_per_batch", "mode", "white_background", "camera", "height", "width", "num_views",
     ),
@@ -160,6 +229,7 @@ class DeviceDataset:
         c2w=None,
         white_background: bool = False,
         sharding=None,
+        multiscale_levels: int = 1,
     ):
         assert (angles is None) != (c2w is None), "provide exactly one of angles/c2w"
         images = np.asarray(images)
@@ -197,9 +267,27 @@ class DeviceDataset:
         self.host_poses = pose_host
         self.images = put(images)
         self.pose_data = put(pose_host)
+        self.multiscale_levels = multiscale_levels
+        if multiscale_levels > 1:
+            pyr = build_pyramid(images, multiscale_levels, white_background)
+            self.ms_images = (self.images,) + tuple(put(p) for p in pyr[1:])
+        else:
+            self.ms_images = None
+
+    @property
+    def train_store(self):
+        """What the in-step sampler consumes: the pixel store, or the
+        multiscale pyramid tuple (one jit/pytree arg either way)."""
+        return self.ms_images if self.ms_images is not None else self.images
 
     def sample_batch(self, key: jax.Array, num_rays: int) -> Batch:
         """``per_ray`` sampling: every ray draws (view, x, y) iid."""
+        if self.ms_images is not None:
+            return _sample_per_ray_ms(
+                self.ms_images, self.pose_data, key, num_rays, self.mode,
+                self.white_background, self.camera, self.height, self.width,
+                self.num_views,
+            )
         return _sample_per_ray(
             self.images, self.pose_data, key, num_rays, self.mode,
             self.white_background, self.camera, self.height, self.width,

@@ -72,6 +72,7 @@ def make_dataset(
         return DeviceDataset(
             imgs, cfg.camera, angles=angles,
             white_background=cfg.render.white_background, sharding=sharding,
+            multiscale_levels=d.multiscale_levels,
         )
     if d.dataset == "multiview_png":
         imgs, h, w = images.load_multiview_dir(
@@ -89,6 +90,7 @@ def make_dataset(
         return DeviceDataset(
             imgs, cfg.camera, angles=angles,
             white_background=cfg.render.white_background, sharding=sharding,
+            multiscale_levels=d.multiscale_levels,
         )
     if d.dataset == "blender":
         scene = blender.load_blender(d.img_dir, split=split)
@@ -105,5 +107,6 @@ def make_dataset(
         return DeviceDataset(
             imgs, camera, c2w=c2w,
             white_background=cfg.render.white_background, sharding=sharding,
+            multiscale_levels=d.multiscale_levels,
         )
     raise ValueError(f"unknown dataset: {d.dataset}")

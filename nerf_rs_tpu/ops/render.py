@@ -166,6 +166,7 @@ def _render_rays_ipe(
     dtype,
     n_rays_shape,
     fine_params: Optional[Params] = None,
+    radii: Optional[jnp.ndarray] = None,
 ):
     """mip-NeRF rendering (arXiv 2103.13415): stratified INTERVAL edges
     along a cone per ray, each interval a conical-frustum Gaussian
@@ -181,7 +182,10 @@ def _render_rays_ipe(
     n = flat_o.shape[0]
     S = render_cfg.num_samples
     k_coarse, k_fine = jax.random.split(key)
-    base_r = sampling.pixel_radius(camera)
+    # per-ray radii (multiscale training) broadcast over the interval
+    # axis inside conical_gaussians; scalar = the camera's footprint
+    base_r = (sampling.pixel_radius(camera) if radii is None
+              else radii[:, None])
     viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
     noise_std = render_cfg.raw_noise_std if rand else 0.0
 
@@ -246,6 +250,7 @@ def render_rays(
     grid: Optional[jnp.ndarray] = None,
     prop_params: Optional[Params] = None,
     prop_cfg=None,
+    radii: Optional[jnp.ndarray] = None,
 ) -> Tuple[RenderOut, Optional[RenderOut]]:
     """Full per-ray rendering: sample -> MLP -> composite, with optional
     hierarchical fine pass (NeRF §5.2 / BASELINE config 3).
@@ -273,6 +278,7 @@ def render_rays(
         return _render_rays_ipe(
             params, flat_o, flat_d, key, model_cfg, render_cfg, camera,
             rand, dtype, n_rays_shape, fine_params=fine_params,
+            radii=None if radii is None else radii.reshape(-1),
         )
 
     if prop_params is not None and not render_cfg.compat_sampling:

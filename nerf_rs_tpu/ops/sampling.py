@@ -101,7 +101,8 @@ def conical_gaussians(
     (arXiv 2103.13415 eqs. 7 + 16, the stable reparameterization).
 
     Each of the S = edges.shape[-1]-1 intervals [t0, t1] along a cone of
-    base radius ``base_radius`` (the pixel footprint at unit distance)
+    base radius ``base_radius`` (the pixel footprint at unit distance;
+    a scalar, or a (..., 1) per-ray array for multiscale batches)
     is approximated by a Gaussian with mean o + t_mean * d and a
     diagonal covariance split into an along-ray variance t_var and a
     perpendicular variance r_var. t_mean is the frustum's exact center

@@ -65,8 +65,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
     err_frac = cfg.train.error_resample_frac
     if dataset is not None:
         from ..data.device_dataset import (
-            _sample_error_weighted, _sample_per_ray, update_error_store,
+            _sample_error_weighted, _sample_per_ray, _sample_per_ray_ms,
+            update_error_store,
         )
+
+        multiscale = getattr(dataset, "multiscale_levels", 1) > 1
 
         per_shard = (cfg.train.num_rays + nshards - 1) // nshards
         # dataset.num_views is the PROCESS-local view count; per-shard
@@ -145,7 +148,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
                            key: jax.Array):
             k = jax.random.fold_in(key, _axis_index())
             mode, white_bg, camera, h, w, nviews = ds_meta
-            batch = _sample_per_ray(
+            sampler = _sample_per_ray_ms if multiscale else _sample_per_ray
+            batch = sampler(
                 images, pose_data, jax.random.fold_in(k, 0), per_shard,
                 mode, white_bg, camera, h, w, nviews,
             )

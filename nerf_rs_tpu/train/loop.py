@@ -441,7 +441,8 @@ def train(
             )
         elif fused_sampling:
             batch = None  # sampled in-step; aux carries batch_idx
-            state, aux = step_fn(state, dataset.images, dataset.pose_data, k)
+            state, aux = step_fn(state, dataset.train_store,
+                                 dataset.pose_data, k)
         else:
             batch = dp.place_batch(next_batch(jax.random.fold_in(k, 0)), mesh)
             state, aux = step_fn(state, batch, jax.random.fold_in(k, 1))

@@ -53,6 +53,11 @@ class Batch(NamedTuple):
     # highest-error resampling buffer (BASELINE config 5); None when
     # error resampling is off.
     idx: Optional[jnp.ndarray] = None
+    # per-ray cone base radius at unit distance (multiscale training,
+    # DataConfig.multiscale_levels): consumed by the --ipe interval path,
+    # ignored by point-sampled models. None = single-scale (the camera's
+    # pixel_radius).
+    radii: Optional[jnp.ndarray] = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -187,6 +192,7 @@ def loss_fn(
         fine_params=fine_params,
         dtype=_matmul_dtype(cfg),
         grid=grid,
+        radii=batch.radii,
     )
     gold_rgb = batch.gold[..., :3]
     loss_c = render.mse(coarse.rgb[..., :3], gold_rgb)
