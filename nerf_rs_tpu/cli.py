@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--height", type=int, default=128)
     common.add_argument("--near", type=float, default=0.05)
     common.add_argument("--far", type=float, default=2.0)
+    _bool_flag(common, "ndc", False,
+               "NDC ray reparameterization (NeRF appendix C, forward-"
+               "facing/LLFF captures): warps rays so sampling covers "
+               "the unit NDC depth range disparity-linearly; requires "
+               "--near 0 --far 1 (auto-set when --ndc is given without "
+               "explicit near/far)")
+    common.add_argument("--ndc_near", type=float, default=1.0,
+                        help="world near-plane distance of the NDC warp")
     common.add_argument("--num_rays", type=int, default=4096)
     common.add_argument("--num_samples", type=int, default=64)
     common.add_argument("--num_fine_samples", type=int, default=0)
@@ -309,6 +317,11 @@ def _apply_preset(args):
             if name not in explicit:
                 setattr(args, name, value)
 
+    if getattr(args, "ndc", False):
+        # NDC warps rays to the unit depth range; pick it up for the
+        # user unless they set near/far themselves (Config validates)
+        _set(near=0.0, far=1.0)
+
     if p == "tiny":
         _set(width=100, height=100, num_rays=4096, num_samples=64,
              num_fine_samples=0,
@@ -422,7 +435,8 @@ def config_from_args(args) -> "Config":
         load_path=args.load_path,
         run_name=args.run_name,
         camera=CameraConfig(
-            width=args.width, height=args.height, near=args.near, far=args.far
+            width=args.width, height=args.height, near=args.near,
+            far=args.far, ndc=args.ndc, ndc_near=args.ndc_near,
         ),
         model=model,
         render=render_cfg,
@@ -601,7 +615,8 @@ def cmd_render(args) -> int:
     poses = rays_ops.pose_from_yaw_pitch(path_angles[:, 0], path_angles[:, 1])
     all_o, all_d = [], []
     for i in range(args.frames):
-        o, d = rays_ops.ray_grid(poses[i], cfg.camera)
+        o, d = rays_ops.maybe_ndc(
+            *rays_ops.ray_grid(poses[i], cfg.camera), cfg.camera)
         all_o.append(o.reshape(-1, 3))
         all_d.append(d.reshape(-1, 3))
     h, w = cfg.camera.height, cfg.camera.width

@@ -36,6 +36,13 @@ class CameraConfig:
     up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
     # Blender-style datasets carry focal length instead of fov+hither.
     focal: Optional[float] = None
+    # NDC ray reparameterization (NeRF paper appendix C, forward-facing
+    # / LLFF captures): rays are warped once at generation
+    # (ops/rays.ndc_rays) so the whole downstream stack samples the
+    # unit NDC depth range — near/far MUST be (0, 1) when set.
+    # ndc_near is the WORLD near-plane distance of the warp.
+    ndc: bool = False
+    ndc_near: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -337,6 +344,20 @@ class Config:
                 "sample-placement mechanisms with no defined composition "
                 "(the proposal path ignores the grid)"
             )
+        if self.camera.ndc:
+            if (self.camera.near, self.camera.far) != (0.0, 1.0):
+                raise ValueError(
+                    "--ndc warps rays to the unit NDC depth range: set "
+                    "--near 0 --far 1 (the WORLD near plane is "
+                    "--ndc_near)"
+                )
+            if self.model.ipe:
+                raise ValueError(
+                    "--ndc with --ipe is not supported (the conical "
+                    "radius math assumes metric world rays)"
+                )
+            if self.render.compat_sampling or self.model.compat:
+                raise ValueError("--ndc is not part of the compat surface")
         if self.data.multiscale_levels > 1:
             if self.data.batch_mode != "per_ray":
                 raise ValueError(

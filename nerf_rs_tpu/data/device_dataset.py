@@ -47,11 +47,13 @@ def _make_rays(pose_data, mode, coords_xy, view_idx, camera, height, width):
     if mode == "angles":
         a = pose_data[view_idx]
         pose = rays_ops.pose_from_yaw_pitch(a[..., 0], a[..., 1])
-        return rays_ops.rays_for_coords(coords_xy, pose, camera)
-    assert camera.focal is not None, "c2w mode requires camera.focal"
-    return rays_ops.rays_from_c2w(
-        coords_xy, pose_data[view_idx], height, width, camera.focal
-    )
+        o, d = rays_ops.rays_for_coords(coords_xy, pose, camera)
+    else:
+        assert camera.focal is not None, "c2w mode requires camera.focal"
+        o, d = rays_ops.rays_from_c2w(
+            coords_xy, pose_data[view_idx], height, width, camera.focal
+        )
+    return rays_ops.maybe_ndc(o, d, camera)
 
 
 @partial(
@@ -372,11 +374,13 @@ class DeviceDataset:
         if self.mode == "angles":
             a = self.pose_data[view]
             pose = rays_ops.pose_from_yaw_pitch(a[0], a[1])
-            return rays_ops.ray_grid(pose, camera)
-        return rays_ops.ray_grid_c2w(
-            self.pose_data[view], self.height // scale, self.width // scale,
-            self.camera.focal / scale,
-        )
+            o, d = rays_ops.ray_grid(pose, camera)
+        else:
+            o, d = rays_ops.ray_grid_c2w(
+                self.pose_data[view], self.height // scale,
+                self.width // scale, self.camera.focal / scale,
+            )
+        return rays_ops.maybe_ndc(o, d, camera)
 
     def view_gold(self, view: int, scale: int = 1) -> jnp.ndarray:
         """Gold (H/scale, W/scale, 3) frame for PSNR eval. ``scale`` > 1

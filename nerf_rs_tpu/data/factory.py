@@ -102,6 +102,8 @@ def make_dataset(
             near=cam.near,
             far=cam.far,
             focal=float(scene.focal),
+            ndc=cam.ndc,
+            ndc_near=cam.ndc_near,
         )
         imgs, c2w = _slice(scene.images, scene.c2w)
         return DeviceDataset(

@@ -124,11 +124,13 @@ class PrefetchPipeline:
         if self.mode == "angles":
             a = self.pose_data[view_idx]
             pose = rays_ops.pose_from_yaw_pitch(a[..., 0], a[..., 1])
-            return rays_ops.rays_for_coords(coords, pose, self.camera)
-        return rays_ops.rays_from_c2w(
-            coords, self.pose_data[view_idx], self.height, self.width,
-            self.camera.focal,
-        )
+            o, d = rays_ops.rays_for_coords(coords, pose, self.camera)
+        else:
+            o, d = rays_ops.rays_from_c2w(
+                coords, self.pose_data[view_idx], self.height, self.width,
+                self.camera.focal,
+            )
+        return rays_ops.maybe_ndc(o, d, self.camera)
 
     def _produce(self, sampler: HostSampler):
         while not self._stop.is_set():

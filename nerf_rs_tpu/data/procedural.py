@@ -198,7 +198,48 @@ def field_helix(points: jnp.ndarray, sharpness: float = 250.0
     return sigma, rgb
 
 
-FIELDS = {"lego": field, "helix": field_helix}
+def field_facing(points: jnp.ndarray, sharpness: float = 250.0
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-facing wrapper of the lego field: content centered at
+    world (0, 0, -FACING_DEPTH) viewed by cameras near the origin
+    looking down -z (the LLFF/NDC convention, ops/rays.ndc_rays). The
+    world->scene map sends camera depth onto the lego field's z-up
+    axis, so the cameras see the studded slab face-on with the full
+    primitive set in relief."""
+    p = points
+    scene = jnp.stack(
+        [p[..., 0], p[..., 1], -(p[..., 2] + FACING_DEPTH) * 1.4],
+        axis=-1,
+    )
+    return field(scene, sharpness)
+
+
+FACING_DEPTH = 4.0
+
+
+def forward_facing_poses(n: int, seed: int) -> np.ndarray:
+    """n cameras jittered on a small plane near the world origin, all
+    looking toward the content plane at z = -FACING_DEPTH — an
+    LLFF-style forward-facing rig (cameras toward -z, the convention
+    ``ops/rays.ndc_rays`` warps)."""
+    rng = np.random.default_rng(seed)
+    eyes = np.stack([
+        rng.uniform(-0.45, 0.45, n),
+        rng.uniform(-0.45, 0.45, n),
+        rng.uniform(-0.15, 0.15, n),
+    ], axis=-1)
+    targets = np.stack([
+        rng.uniform(-0.2, 0.2, n),
+        rng.uniform(-0.2, 0.2, n),
+        np.full(n, -FACING_DEPTH),
+    ], axis=-1)
+    return np.stack([
+        look_at_c2w(e, target=t, up=(0.0, 1.0, 0.0))
+        for e, t in zip(eyes, targets)
+    ]).astype(np.float32)
+
+
+FIELDS = {"lego": field, "helix": field_helix, "facing": field_facing}
 
 
 def look_at_c2w(eye: np.ndarray, target=(0.0, 0.0, 0.15),
@@ -283,16 +324,21 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
     field_fn = FIELDS[scene]
     from .images import save_png
 
+    # forward-facing scene: LLFF-style rig + content-bracketing planes
+    facing = scene == "facing"
+    pose_fn = forward_facing_poses if facing else hemisphere_poses
+    near, far = (1.5, 7.5) if facing else (2.0, 6.0)
     focal = 0.5 * size / math.tan(0.5 * CAMERA_ANGLE_X)
     splits = [("train", n_train, seed + 1), ("val", n_val, seed + 2),
               ("test", n_test, seed + 3)]
     for split, n, s in splits:
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
-        poses = hemisphere_poses(n, s)
+        poses = pose_fn(n, s)
         frames = []
         for i in range(n):
-            img = render_gold(poses[i], size, size, focal,
-                              num_samples=num_samples, field_fn=field_fn)
+            img = render_gold(poses[i], size, size, focal, near=near,
+                              far=far, num_samples=num_samples,
+                              field_fn=field_fn)
             save_png(os.path.join(out_dir, split, f"r_{i}.png"), img)
             frames.append({
                 "file_path": f"./{split}/r_{i}",

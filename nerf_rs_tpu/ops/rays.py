@@ -246,3 +246,55 @@ def ray_grid_c2w(
     xx, yy = jnp.meshgrid(x, y, indexing="xy")
     coords = jnp.stack([xx, yy], axis=-1)
     return rays_from_c2w(coords, c2w, height, width, focal)
+
+
+def ndc_rays(
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    camera: CameraConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reparameterize world rays into normalized device coordinates
+    (NeRF paper appendix C, eqs. 25-26 — the forward-facing / LLFF
+    mode). Assumes the forward-facing convention: cameras near the
+    world origin looking toward -z, scene content beyond the
+    ``camera.ndc_near`` plane.
+
+    Each world ray maps to an NDC ray such that o' + s d' for
+    s in [0, 1] sweeps the world ray from z = -ndc_near out to
+    z = -inf; NDC z = 1 + 2 near/z is DISPARITY-linear, so uniform
+    samples in s match the paper's LLFF sampling. x/y land in [-1, 1]
+    across the frustum. Downstream (sampling with near=0, far=1, PE,
+    kernels, compositing over NDC deltas) is unchanged — the field is
+    simply learned in NDC coordinates, exactly as in the paper.
+    """
+    focal = camera.focal
+    if focal is None:
+        focal = 0.5 * camera.width / math.tan(0.5 * camera.fov)
+    near = camera.ndc_near
+    # slide origins to the z = -near plane along the ray
+    t = -(near + origins[..., 2]) / dirs[..., 2]
+    o = origins + t[..., None] * dirs
+    sx = -focal / (0.5 * camera.width)
+    sy = -focal / (0.5 * camera.height)
+    o_ndc = jnp.stack([
+        sx * o[..., 0] / o[..., 2],
+        sy * o[..., 1] / o[..., 2],
+        1.0 + 2.0 * near / o[..., 2],
+    ], axis=-1)
+    d_ndc = jnp.stack([
+        sx * (dirs[..., 0] / dirs[..., 2] - o[..., 0] / o[..., 2]),
+        sy * (dirs[..., 1] / dirs[..., 2] - o[..., 1] / o[..., 2]),
+        -2.0 * near / o[..., 2],
+    ], axis=-1)
+    return o_ndc, d_ndc
+
+
+def maybe_ndc(
+    origins: jnp.ndarray, dirs: jnp.ndarray, camera: CameraConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the NDC reparameterization when the camera asks for it —
+    the single hook every ray producer (batch samplers, view_rays,
+    render sweeps) routes through."""
+    if getattr(camera, "ndc", False):
+        return ndc_rays(origins, dirs, camera)
+    return origins, dirs

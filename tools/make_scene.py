@@ -24,8 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--num_samples", type=int, default=512,
                    help="gold integration samples per ray")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--scene", default="lego", choices=["lego", "helix"],
-                   help="procedural field (data/procedural.FIELDS)")
+    p.add_argument("--scene", default="lego",
+                   choices=["lego", "helix", "facing"],
+                   help="procedural field (data/procedural.FIELDS); "
+                   "'facing' is the LLFF-style forward-facing rig for "
+                   "--ndc training")
     args = p.parse_args(argv)
 
     from nerf_rs_tpu.data.procedural import make_blender_scene
