@@ -266,6 +266,12 @@ def ndc_rays(
     across the frustum. Downstream (sampling with near=0, far=1, PE,
     kernels, compositing over NDC deltas) is unchanged — the field is
     simply learned in NDC coordinates, exactly as in the paper.
+
+    One deliberate difference from the paper's LLFF code: the radiance
+    head is conditioned on the normalized NDC direction rather than the
+    world direction (the warp happens before view dirs are derived).
+    The NDC map is a bijection on frustum rays, so this is an
+    equivalent — just differently warped — view parameterization.
     """
     focal = camera.focal
     if focal is None:
