@@ -84,6 +84,34 @@ def _pe_encode(p: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.where(cols < 3, t, enc)
 
 
+def _ipe_encode(mean: jnp.ndarray, var: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """In-register mip-NeRF integrated posenc of a diagonal Gaussian
+    (mean, var), both (ROWS, 3) -> (ROWS, pad).
+
+    Same column layout as ``_pe_encode`` (and models/encoding.
+    integrated_posenc): cols 0:3 raw mean, then per level
+    [sin xyz, cos xyz], every sinusoid damped by exp(-0.5 * 4^level *
+    var_d) — the expected sinusoid under the Gaussian. var -> 0
+    reduces exactly to ``_pe_encode(mean)``."""
+    rows = mean.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, pad), dimension=1)
+    r = jnp.maximum(cols - 3, 0)
+    dim = jnp.where(cols < 3, cols, r % 3)
+
+    def pick(p):
+        return jnp.where(
+            dim == 0, p[:, 0:1], jnp.where(dim == 1, p[:, 1:2], p[:, 2:3])
+        )
+
+    comp = pick(mean)
+    v = pick(var)
+    scale = jnp.exp2((r // 6).astype(jnp.float32))
+    t = comp * jnp.where(cols < 3, 1.0, scale)
+    damp = jnp.exp(-0.5 * scale * scale * v)
+    enc = jnp.where(r % 6 < 3, jnp.sin(t), jnp.cos(t)) * damp
+    return jnp.where(cols < 3, t, enc)
+
+
 class PackedWeights(NamedTuple):
     """Flat, lane-padded bf16 weights + f32 biases for the kernel."""
 

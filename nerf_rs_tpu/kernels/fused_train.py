@@ -104,6 +104,10 @@ def _train_kernel(
     dist_scale: float,  # distortion-loss weight / N rays (0 = off)
     dist_near: float,  # [near, far] normalizes sample positions for the
     dist_inv_span: float,  # distortion loss (mip-NeRF 360 s-coords)
+    ipe: bool,  # mip-NeRF integrated encoding: ts are interval MIDS,
+    # deltas exact interval lengths, and a per-ray radii ref follows
+    # gold — conical-Gaussian moments + damped PE computed in-register
+    sigma_act: str,  # "relu" | "softplus" (fwd + matching bwd slope)
     o_ref, d_ref, vd_ref, ts_ref, deltas_ref, gold_ref,
     *refs,
 ):
@@ -122,6 +126,9 @@ def _train_kernel(
 
     # ---- unpack refs -----------------------------------------------------
     i = 0
+    radii_ref = None
+    if ipe:
+        radii_ref = refs[0]; i = 1
     trunk_w = refs[i:i + depth]; i += depth
     skip_w = refs[i]; i += 1
     trunk_b = refs[i:i + depth]; i += depth
@@ -158,10 +165,47 @@ def _train_kernel(
     d = each(lambda p: sl(d_ref, p))
     ts = each(lambda p: sl(ts_ref, p))
     deltas = each(lambda p: sl(deltas_ref, p))
-    pts = each(lambda p: (
-        o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]
-    ).reshape(rows, 3))
-    x = each(lambda p: _pe_encode(pts[p], pos_pad).astype(bf))  # (rows, P)
+    if ipe:
+        # conical-frustum Gaussian moments (ops/sampling.conical_gaussians
+        # closed forms) in (Rh, S), then the same free leading-dim
+        # expansion the point path uses; the per-ray (Rh, 1) radius
+        # broadcasts over lanes exactly like acc_r below
+        from .fused_render import _ipe_encode
+
+        radii = each(lambda p: sl(radii_ref, p))  # (Rh, 1)
+        mu = ts  # interval midpoints
+        hw = each(lambda p: 0.5 * deltas[p])
+
+        def moments(p):
+            mu2 = mu[p] * mu[p]
+            hw2 = hw[p] * hw[p]
+            denom = 3.0 * mu2 + hw2
+            t_mean = mu[p] + 2.0 * mu[p] * hw2 / denom
+            t_var = hw2 / 3.0 - (4.0 / 15.0) * (
+                hw2 * hw2 * (12.0 * mu2 - hw2) / (denom * denom))
+            r_var = radii[p] * radii[p] * (
+                mu2 / 4.0 + (5.0 / 12.0) * hw2
+                - (4.0 / 15.0) * hw2 * hw2 / denom)
+            return t_mean, t_var, r_var
+
+        moms = each(moments)
+        d2 = each(lambda p: d[p] * d[p])  # (Rh, 3)
+        dn2 = each(lambda p: jnp.maximum(
+            jnp.sum(d2[p], axis=-1, keepdims=True), 1e-10))
+        pts = each(lambda p: (
+            o[p][:, None, :] + moms[p][0][:, :, None] * d[p][:, None, :]
+        ).reshape(rows, 3))
+        var = each(lambda p: (
+            moms[p][1][:, :, None] * d2[p][:, None, :]
+            + moms[p][2][:, :, None]
+            * (1.0 - d2[p] / dn2[p])[:, None, :]
+        ).reshape(rows, 3))
+        x = each(lambda p: _ipe_encode(pts[p], var[p], pos_pad).astype(bf))
+    else:
+        pts = each(lambda p: (
+            o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]
+        ).reshape(rows, 3))
+        x = each(lambda p: _pe_encode(pts[p], pos_pad).astype(bf))  # (rows, P)
     # per-sample copies of the view-dir encoding are needed only by the
     # BACKWARD dview_dir_w contraction; the forward view-dir matmul is
     # hoisted to ray level below (view dirs are constant per ray), so
@@ -216,7 +260,12 @@ def _train_kernel(
     rgb_rs = each(lambda p: rgb[p].reshape(Rh, S, 3))
 
     # compositing in (Rh, S)
-    sigma_rs = each(lambda p: jnp.maximum(sigma_raw_rs[p], 0.0))
+    if sigma_act == "softplus":
+        # stable softplus = max(x, 0) + log1p(exp(-|x|)); slope sigmoid
+        sigma_rs = each(lambda p: jnp.maximum(sigma_raw_rs[p], 0.0)
+                        + jnp.log1p(jnp.exp(-jnp.abs(sigma_raw_rs[p]))))
+    else:
+        sigma_rs = each(lambda p: jnp.maximum(sigma_raw_rs[p], 0.0))
     a = each(lambda p: sigma_rs[p] * deltas[p])  # sigma*delta
     rs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     cs_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
@@ -285,8 +334,11 @@ def _train_kernel(
         uw[p], tril_strict, (((1,), (0,)), ((), ())),
         precision=hi, preferred_element_type=f32))
     da = each(lambda p: u[p] * (trans[p] - w[p]) - suffix[p])
-    dsigma_rs = each(lambda p: (
-        da[p] * deltas[p] * (sigma_raw_rs[p] > 0.0).astype(f32)))
+    if sigma_act == "softplus":
+        slope = each(lambda p: jax.nn.sigmoid(sigma_raw_rs[p]))
+    else:
+        slope = each(lambda p: (sigma_raw_rs[p] > 0.0).astype(f32))
+    dsigma_rs = each(lambda p: da[p] * deltas[p] * slope[p])
 
     # the one unsupported relayout (Rh,S)->(rows,1): selector matmul.
     # A broadcast+lane-mask alternative (expand dsigma to (Rh,S,S),
@@ -403,6 +455,7 @@ def fused_train_grads(
     dist_weight: float = 0.0,
     near: float = 0.0,
     far: float = 1.0,
+    radii: jnp.ndarray = None,
 ) -> TrainGrads:
     """One fused forward+backward over N rays; N % rays_per_block == 0.
 
@@ -414,6 +467,12 @@ def fused_train_grads(
     sub-blocks per grid step for MXU/VPU overlap (same math; dW
     contributions of the halves are summed in registers before each
     VMEM accumulate).
+
+    ``cfg.ipe`` (with ``radii`` (N,) per-ray cone base radii): ``ts``
+    are interval MIDPOINTS and ``deltas`` exact interval lengths; the
+    kernel builds the conical-frustum Gaussians and the damped
+    integrated encoding in-register (mip-NeRF at whole-ray-kernel
+    speed). ``cfg.sigma_activation`` selects relu or softplus density.
     """
     n = origins.shape[0]
     S = num_samples
@@ -436,9 +495,14 @@ def fused_train_grads(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    ipe = bool(cfg.ipe)
+    if ipe:
+        assert radii is not None, "cfg.ipe needs per-ray radii"
+        radii = radii.reshape(n, 1).astype(f32)
     in_specs = [
         ray_spec(3), ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(S),
         ray_spec(3),
+        *([ray_spec(1)] if ipe else []),
         *[full(w) for w in packed.trunk_w], full(packed.skip_w),
         *[full(b) for b in packed.trunk_b],
         full(packed.sf_w), full(packed.sf_b), full(packed.view_w),
@@ -481,6 +545,7 @@ def fused_train_grads(
         _train_kernel, depth, cfg.skip_layer, F, pos_pad, dir_pad, S, R,
         white_bg, loss_scale, halves,
         dist_weight / n, near, 1.0 / (far - near),
+        ipe, cfg.sigma_activation,
     )
     flops_row = 2 * 3 * (
         pos_pad * W + (depth - 1) * W * W + pos_pad * W + W * (F + 128)
@@ -502,6 +567,7 @@ def fused_train_grads(
             transcendentals=n * S * (pos_pad + dir_pad + 4),
         ),
     )(origins, dirs, viewdirs, ts, deltas, gold,
+      *([radii] if ipe else []),
       *packed.trunk_w, packed.skip_w, *packed.trunk_b,
       packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
       packed.view_b, packed.rgb_w, packed.rgb_b,

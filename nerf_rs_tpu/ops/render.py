@@ -140,18 +140,26 @@ def compat_predict(
     return out.rgb, sigma
 
 
-def fused_supported(model_cfg: ModelConfig) -> bool:
-    """The fused Pallas kernels cover the flagship paper architecture;
-    compat, hashgrid, and IPE (interval-Gaussian encoding) configs run
-    the XLA path."""
+def train_fused_supported(model_cfg: ModelConfig) -> bool:
+    """Architectures the whole-ray TRAIN kernel covers — the paper
+    family including IPE (the kernel builds conical-Gaussian moments
+    and the damped integrated encoding in-register) and both density
+    activations."""
     return (
         not model_cfg.compat
         and model_cfg.arch == "nerf"
-        and not model_cfg.ipe
         and model_cfg.use_viewdirs
         and model_cfg.rgb_activation == "sigmoid"
         and model_cfg.include_input_in_enc
+        and model_cfg.sigma_activation in ("relu", "softplus")
     )
+
+
+def fused_supported(model_cfg: ModelConfig) -> bool:
+    """The fused RENDER kernel covers the flagship paper architecture;
+    compat, hashgrid, and IPE (interval-Gaussian encoding) configs run
+    the XLA render path."""
+    return train_fused_supported(model_cfg) and not model_cfg.ipe
 
 
 def _render_rays_ipe(

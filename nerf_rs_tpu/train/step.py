@@ -377,26 +377,35 @@ def whole_ray_supported(cfg: Config) -> bool:
     """The fused whole-ray train kernel covers the paper-architecture
     configs, coarse-only AND hierarchical (as a coarse-kernel -> XLA
     PDF-resample -> fine-kernel chain), including proposal-guided
-    sampling (proposal in XLA, main pass in-kernel). Compat and
+    sampling (proposal in XLA, main pass in-kernel) and mip-NeRF IPE
+    (interval moments + damped encoding in-register). Compat and
     sigma-noise configs fall back to XLA autodiff."""
-    from ..ops.render import fused_supported
+    from ..ops.render import train_fused_supported
 
     return (
         cfg.use_whole_ray_train
-        and fused_supported(cfg.model)
+        and train_fused_supported(cfg.model)
         and cfg.render.raw_noise_std == 0.0
         and not cfg.render.compat_density_color
         and cfg.train.accumulation_steps <= 1
+        # the IPE kernel path covers stratified + standalone-fine
+        # interval sampling (proposal/occ emit points; config already
+        # rejects those combinations for ipe)
+        and not (cfg.model.ipe and cfg.render.num_fine_samples > 0
+                 and cfg.render.fine_mode != "standalone")
     )
 
 
 def _whole_ray_pass(
     params: Params, batch: Batch, vd: jnp.ndarray, ts: jnp.ndarray,
-    cfg: Config, dist: bool = False,
+    cfg: Config, dist: bool = False, deltas: jnp.ndarray = None,
+    radii: jnp.ndarray = None,
 ):
     """One fused fwd+bwd kernel launch over ``ts`` samples; returns
     (grads pytree, TrainGrads). ``dist`` applies the distortion loss
-    in-kernel (set on the FINEST pass only, matching loss_fn)."""
+    in-kernel (set on the FINEST pass only, matching loss_fn).
+    IPE configs pass interval midpoints as ``ts`` with explicit
+    ``deltas`` (exact interval lengths) and per-ray ``radii``."""
     from ..kernels.fused_render import pack_weights
     from ..kernels.fused_train import (
         fused_train_grads, pack_weights_t, unpack_grads,
@@ -405,7 +414,8 @@ def _whole_ray_pass(
 
     n = batch.origins.shape[0]
     S = ts.shape[-1]
-    deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
+    if deltas is None:
+        deltas = sampling.deltas_from_ts(ts, cfg.camera.far)
     pk = pack_weights(params, cfg.model)
     pkT = pack_weights_t(pk, cfg.model)
     # keep VMEM-resident activations bounded: scale the ray block so
@@ -424,6 +434,7 @@ def _whole_ray_pass(
         dist_weight=cfg.train.distortion_weight if dist else 0.0,
         near=cfg.camera.near,
         far=cfg.camera.far,
+        radii=radii,
     )
     return unpack_grads(tg, params, cfg.model), tg
 
@@ -455,7 +466,22 @@ def whole_ray_grads(
 
     n = batch.origins.shape[0]
     k_coarse, k_fine = jax.random.split(key)
-    if grid is not None and not cfg.render.compat_sampling:
+    ipe = cfg.model.ipe
+    edges = deltas = radii = None
+    if ipe:
+        # interval sampling: S+1 stratified EDGES, kernel consumes
+        # midpoints + exact lengths + per-ray cone radii — the same key
+        # flow as the XLA path (ops/render._render_rays_ipe)
+        edges = sampling.stratified_ts(
+            k_coarse, n, cfg.render.num_samples + 1, cfg.camera.near,
+            cfg.camera.far, cfg.render.randomized,
+        )
+        ts = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        deltas = edges[..., 1:] - edges[..., :-1]
+        radii = (batch.radii if batch.radii is not None
+                 else jnp.full((n,), sampling.pixel_radius(cfg.camera),
+                               jnp.float32))
+    elif grid is not None and not cfg.render.compat_sampling:
         from ..ops import occupancy
 
         ts = occupancy.occupancy_ts(
@@ -477,7 +503,8 @@ def whole_ray_grads(
     dist_w = cfg.train.distortion_weight
     one_pass = cfg.render.num_fine_samples == 0
     grads_c, tg_c = _whole_ray_pass(params, batch, vd, ts, cfg,
-                                    dist=one_pass and dist_w > 0.0)
+                                    dist=one_pass and dist_w > 0.0,
+                                    deltas=deltas, radii=radii)
     loss_c = jnp.mean(tg_c.diag[:, 4])
 
     if one_pass:
@@ -495,19 +522,32 @@ def whole_ray_grads(
 
     # hierarchical fine pass on PDF-resampled ts (kernel weights are
     # values, not traced grads — no stop_gradient plumbing needed)
-    mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
-    bins = jnp.concatenate([ts[..., :1], mids, ts[..., -1:]], axis=-1)
-    fine_ts = sampling.sample_pdf(
-        k_fine, bins, tg_c.weights, cfg.render.num_fine_samples,
-        cfg.render.randomized,
-    )
-    if cfg.render.fine_mode == "standalone":
-        all_ts = fine_ts  # sample_pdf output is sorted by construction
+    fine_deltas = None
+    if ipe:
+        # resample S_f + 1 new EDGES from the coarse interval histogram
+        # (the edges ARE the bins), composited standalone — the XLA IPE
+        # path's scheme exactly
+        fine_edges = sampling.sample_pdf(
+            k_fine, edges, tg_c.weights, cfg.render.num_fine_samples + 1,
+            cfg.render.randomized,
+        )
+        all_ts = 0.5 * (fine_edges[..., :-1] + fine_edges[..., 1:])
+        fine_deltas = fine_edges[..., 1:] - fine_edges[..., :-1]
     else:
-        all_ts = sampling.merge_ts(ts, fine_ts)
+        mids = 0.5 * (ts[..., 1:] + ts[..., :-1])
+        bins = jnp.concatenate([ts[..., :1], mids, ts[..., -1:]], axis=-1)
+        fine_ts = sampling.sample_pdf(
+            k_fine, bins, tg_c.weights, cfg.render.num_fine_samples,
+            cfg.render.randomized,
+        )
+        if cfg.render.fine_mode == "standalone":
+            all_ts = fine_ts  # sample_pdf output is sorted by construction
+        else:
+            all_ts = sampling.merge_ts(ts, fine_ts)
     fparams = fine_params if fine_params is not None else params
     grads_f, tg_f = _whole_ray_pass(fparams, batch, vd, all_ts, cfg,
-                                    dist=dist_w > 0.0)
+                                    dist=dist_w > 0.0,
+                                    deltas=fine_deltas, radii=radii)
     loss_f = jnp.mean(tg_f.diag[:, 4])
 
     if fine_params is not None:

@@ -119,12 +119,66 @@ def test_ipe_config_validation():
         Config(model=MODEL, render=RenderConfig(num_samples=8, occ_res=8))
 
 
-def test_ipe_excluded_from_fused_paths():
+def test_ipe_fused_path_gates():
+    """IPE runs the whole-ray TRAIN kernel (in-register interval
+    moments + damped encoding) but not the render kernel; union fine
+    mode falls back to XLA."""
     from nerf_rs_tpu.train.step import whole_ray_supported
 
     assert not render.fused_supported(MODEL)
-    cfg = _cfg().replace(use_whole_ray_train=True)
-    assert not whole_ray_supported(cfg)
+    assert render.train_fused_supported(MODEL)
+    cfg = _cfg(fine=12).replace(use_whole_ray_train=True)
+    assert whole_ray_supported(cfg)
+
+
+@pytest.mark.parametrize("fine", [0, 12])
+@pytest.mark.parametrize("radii_mode", ["scalar", "per_ray"])
+def test_ipe_whole_ray_kernel_matches_xla(fine, radii_mode):
+    """The fused IPE train path must reproduce the XLA IPE loss and
+    gradients (interpret mode; same key flow by construction), with
+    scalar and per-ray (multiscale) radii, softplus density."""
+    from nerf_rs_tpu.train import Batch
+    from nerf_rs_tpu.train.step import (
+        loss_fn, whole_ray_grads, whole_ray_supported,
+    )
+
+    import dataclasses
+
+    base = _cfg(fine=fine)
+    cfg = base.replace(
+        use_whole_ray_train=True,
+        render=dataclasses.replace(base.render, randomized=False),
+        train=TrainConfig(num_rays=16, precision="f32", whole_ray_block=8),
+    )
+    assert whole_ray_supported(cfg)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg.model)
+    key_b = jax.random.PRNGKey(5)
+    o = jax.random.uniform(key_b, (16, 3), minval=-0.3, maxval=0.3)
+    o = o.at[:, 2].set(-1.0)
+    d = jnp.tile(jnp.asarray([[0.05, -0.03, 1.0]]), (16, 1))
+    gold = jax.random.uniform(jax.random.fold_in(key_b, 1), (16, 3))
+    radii = None
+    if radii_mode == "per_ray":
+        radii = sampling.pixel_radius(cfg.camera) * (
+            1.0 + jnp.arange(16, dtype=jnp.float32) % 4)
+    batch = Batch(o, d, gold, radii=radii)
+    key = jax.random.PRNGKey(9)
+    grads_k, aux_k = whole_ray_grads(params, batch, key, cfg, None, 0)
+    (loss_x, aux_x), grads_x = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, key, cfg, None, 0)
+    np.testing.assert_allclose(float(aux_k["loss"]), float(loss_x),
+                               rtol=3e-3)
+
+    def close(a, b):
+        # bf16 kernel trunk vs f32 XLA: the _ipe_encode output is
+        # bit-exact vs integrated_posenc (checked separately), so the
+        # residual is the usual bf16 matmul-chain noise — same 5e-2
+        # regime as tests/test_fused_train.py's single-pass checks
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=6e-2)
+
+    jax.tree_util.tree_map(close, grads_k, grads_x)
 
 
 def test_mipnerf_preset_cli():
@@ -138,6 +192,60 @@ def test_mipnerf_preset_cli():
     assert cfg.render.share_network
     assert cfg.render.fine_mode == "standalone"
     assert cfg.render.num_fine_samples == 128
+
+
+def test_kernel_ipe_encode_bit_exact():
+    """The in-register _ipe_encode must match integrated_posenc
+    bit-for-bit at the unpadded width (same column layout)."""
+    from nerf_rs_tpu.kernels.fused_render import _ipe_encode
+
+    key = jax.random.PRNGKey(0)
+    mean = jax.random.normal(key, (64, 3))
+    var = jax.random.uniform(jax.random.fold_in(key, 1), (64, 3)) * 0.1
+    L = 4
+    ref = np.asarray(encoding.integrated_posenc(mean, var, L, True))
+    got = np.asarray(_ipe_encode(mean, var, 3 * (2 * L + 1)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_softplus_whole_ray_kernel_matches_xla():
+    """Point-sampled softplus density through the whole-ray kernel
+    (previously the kernel silently applied relu for softplus configs —
+    sigma_act is now a kernel static with a matching backward slope)."""
+    import dataclasses
+
+    from nerf_rs_tpu.train import Batch
+    from nerf_rs_tpu.train.step import (
+        loss_fn, whole_ray_grads, whole_ray_supported,
+    )
+
+    base = _cfg()
+    cfg = base.replace(
+        model=dataclasses.replace(base.model, ipe=False),
+        use_whole_ray_train=True,
+        render=dataclasses.replace(base.render, randomized=False),
+        train=TrainConfig(num_rays=16, precision="f32", whole_ray_block=8),
+    )
+    assert cfg.model.sigma_activation == "softplus"
+    assert whole_ray_supported(cfg)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg.model)
+    o = jnp.tile(jnp.asarray([[0.0, 0.1, -1.0]]), (16, 1))
+    d = jnp.tile(jnp.asarray([[0.02, -0.05, 1.0]]), (16, 1))
+    gold = jax.random.uniform(jax.random.PRNGKey(2), (16, 3))
+    batch = Batch(o, d, gold)
+    key = jax.random.PRNGKey(3)
+    grads_k, aux_k = whole_ray_grads(params, batch, key, cfg, None, 0)
+    (loss_x, _), grads_x = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, key, cfg, None, 0)
+    np.testing.assert_allclose(float(aux_k["loss"]), float(loss_x),
+                               rtol=3e-3)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=6e-2)
+
+    jax.tree_util.tree_map(close, grads_k, grads_x)
 
 
 def test_scaled_camera_widens_footprint():
