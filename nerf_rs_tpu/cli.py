@@ -368,10 +368,13 @@ def _apply_preset(args):
     elif p == "mipnerf":
         # mip-NeRF (arXiv 2103.13415): IPE conical-frustum intervals,
         # ONE MLP for both levels, fine intervals composited standalone
-        # (the paper's own scheme); softplus density per the paper
+        # (the paper's own scheme); softplus density per the paper.
+        # Default path: whole-ray fused kernel with in-register interval
+        # moments — 24.5 vs 43.1 ms/step XLA (benchmarks/ab_ipe.py)
         _set(ipe=True, share_network=True, fine_mode="standalone",
              num_samples=64, num_fine_samples=128,
-             sigma_activation="softplus", white_background=True)
+             sigma_activation="softplus", white_background=True,
+             use_whole_ray_train=True)
     return args
 
 
