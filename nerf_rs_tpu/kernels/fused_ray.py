@@ -51,6 +51,9 @@ def _ray_kernel(
     S: int,
     R: int,
     sigma_act: str,
+    ipe: bool,  # mip-NeRF IPE: ts are interval MIDS, deltas exact
+    # lengths, and a per-ray radii ref follows deltas (fused_train.py's
+    # scheme) — Gaussian moments + damped encoding in-register
     o_ref,
     d_ref,
     vd_ref,
@@ -58,12 +61,17 @@ def _ray_kernel(
     deltas_ref,
     *refs,
 ):
+    i0 = 0
+    radii_ref = None
+    if ipe:
+        radii_ref = refs[0]
+        i0 = 1
     nw = depth
-    trunk_w = refs[:nw]
-    skip_w = refs[nw]
-    trunk_b = refs[nw + 1 : 2 * nw + 1]
+    trunk_w = refs[i0:i0 + nw]
+    skip_w = refs[i0 + nw]
+    trunk_b = refs[i0 + nw + 1 : i0 + 2 * nw + 1]
     (sf_w, sf_b, view_w, view_dir_w, view_b, rgb_w, rgb_b,
-     out_ref, w_out_ref, sigma_out_ref) = refs[2 * nw + 1 :]
+     out_ref, w_out_ref, sigma_out_ref) = refs[i0 + 2 * nw + 1 :]
     bf = jnp.bfloat16
     f32 = jnp.float32
     rows = R * S
@@ -75,8 +83,15 @@ def _ray_kernel(
     d = d_ref[:]
     ts = ts_ref[:]
     deltas = deltas_ref[:]
-    pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]).reshape(rows, 3)
-    x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
+    if ipe:
+        from .fused_render import _ipe_encode, _ipe_expand
+
+        mean, var = _ipe_expand(o, d, ts, deltas, radii_ref[:], rows)
+        x = _ipe_encode(mean, var, pos_pad).astype(bf)  # (rows, P)
+    else:
+        pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]
+               ).reshape(rows, 3)
+        x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
     dv_ray = _pe_encode(vd_ref[:], dir_pad)  # (R, D) f32
     dv = jnp.broadcast_to(
         dv_ray[:, None, :], (R, S, dir_pad)
@@ -145,6 +160,7 @@ def fused_ray_render(
     num_samples: int,
     rays_per_block: int = 128,
     interpret: bool = False,
+    radii: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render N rays fully in-kernel.
 
@@ -153,12 +169,20 @@ def fused_ray_render(
     operating point at S=64). Returns (rgb (N, 3), acc (N,), depth (N,),
     weights (N, S), sigma (N, S)) — white-background compositing stays
     with the caller.
+
+    ``cfg.ipe`` (with ``radii`` (N,)): ts are interval MIDPOINTS,
+    deltas exact interval lengths; the damped integrated encoding is
+    built in-register (fused_train.py's scheme, forward only).
     """
     n = origins.shape[0]
     S = num_samples
     R = rays_per_block
     assert n % R == 0, (n, R)
     assert ts.shape == (n, S)
+    ipe = bool(cfg.ipe)
+    if ipe:
+        assert radii is not None, "cfg.ipe needs per-ray radii"
+        radii = radii.reshape(n, 1).astype(jnp.float32)
     grid = (n // R,)
     depth_l = cfg.net_depth
     pos, pos_pad, dird, dir_pad = enc_dims(cfg)
@@ -170,6 +194,7 @@ def fused_ray_render(
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         ray_spec(3), ray_spec(3), ray_spec(3), ray_spec(S), ray_spec(S),
+        *([ray_spec(1)] if ipe else []),
         *[full(w) for w in packed.trunk_w],
         full(packed.skip_w),
         *[full(b) for b in packed.trunk_b],
@@ -179,7 +204,7 @@ def fused_ray_render(
     ]
     kernel = functools.partial(
         _ray_kernel, depth_l, cfg.skip_layer, cfg.feature_width,
-        pos_pad, dir_pad, S, R, cfg.sigma_activation,
+        pos_pad, dir_pad, S, R, cfg.sigma_activation, ipe,
     )
     F = cfg.feature_width
     V = packed.view_w.shape[1]
@@ -207,6 +232,7 @@ def fused_ray_render(
             transcendentals=n * S * (pos_pad + dir_pad + 6),
         ),
     )(origins, dirs, viewdirs, ts, deltas,
+      *([radii] if ipe else []),
       *packed.trunk_w, packed.skip_w, *packed.trunk_b,
       packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
       packed.view_b, packed.rgb_w, packed.rgb_b)

@@ -112,6 +112,31 @@ def _ipe_encode(mean: jnp.ndarray, var: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.where(cols < 3, t, enc)
 
 
+def _ipe_expand(o, d, mids, deltas, radii, rows):
+    """In-register conical-frustum Gaussian expansion for the fused
+    kernels (ops/sampling.conical_gaussians closed forms): per-ray
+    (o, d) (r, 3), interval mids/deltas (r, S), radii (r, 1) ->
+    Gaussian means and diagonal variances as (rows, 3) via the free
+    leading-dim reshape. Feed the result to ``_ipe_encode``."""
+    mu = mids
+    hw = 0.5 * deltas
+    mu2, hw2 = mu * mu, hw * hw
+    denom = 3.0 * mu2 + hw2
+    t_mean = mu + 2.0 * mu * hw2 / denom
+    t_var = hw2 / 3.0 - (4.0 / 15.0) * (
+        hw2 * hw2 * (12.0 * mu2 - hw2) / (denom * denom))
+    r_var = radii * radii * (
+        mu2 / 4.0 + (5.0 / 12.0) * hw2 - (4.0 / 15.0) * hw2 * hw2 / denom)
+    d2 = d * d
+    dn2 = jnp.maximum(jnp.sum(d2, axis=-1, keepdims=True), 1e-10)
+    pts = (o[:, None, :] + t_mean[:, :, None] * d[:, None, :]
+           ).reshape(rows, 3)
+    var = (t_var[:, :, None] * d2[:, None, :]
+           + r_var[:, :, None] * (1.0 - d2 / dn2)[:, None, :]
+           ).reshape(rows, 3)
+    return pts, var
+
+
 class PackedWeights(NamedTuple):
     """Flat, lane-padded bf16 weights + f32 biases for the kernel."""
 

@@ -170,37 +170,12 @@ def _train_kernel(
         # closed forms) in (Rh, S), then the same free leading-dim
         # expansion the point path uses; the per-ray (Rh, 1) radius
         # broadcasts over lanes exactly like acc_r below
-        from .fused_render import _ipe_encode
+        from .fused_render import _ipe_encode, _ipe_expand
 
-        radii = each(lambda p: sl(radii_ref, p))  # (Rh, 1)
-        mu = ts  # interval midpoints
-        hw = each(lambda p: 0.5 * deltas[p])
-
-        def moments(p):
-            mu2 = mu[p] * mu[p]
-            hw2 = hw[p] * hw[p]
-            denom = 3.0 * mu2 + hw2
-            t_mean = mu[p] + 2.0 * mu[p] * hw2 / denom
-            t_var = hw2 / 3.0 - (4.0 / 15.0) * (
-                hw2 * hw2 * (12.0 * mu2 - hw2) / (denom * denom))
-            r_var = radii[p] * radii[p] * (
-                mu2 / 4.0 + (5.0 / 12.0) * hw2
-                - (4.0 / 15.0) * hw2 * hw2 / denom)
-            return t_mean, t_var, r_var
-
-        moms = each(moments)
-        d2 = each(lambda p: d[p] * d[p])  # (Rh, 3)
-        dn2 = each(lambda p: jnp.maximum(
-            jnp.sum(d2[p], axis=-1, keepdims=True), 1e-10))
-        pts = each(lambda p: (
-            o[p][:, None, :] + moms[p][0][:, :, None] * d[p][:, None, :]
-        ).reshape(rows, 3))
-        var = each(lambda p: (
-            moms[p][1][:, :, None] * d2[p][:, None, :]
-            + moms[p][2][:, :, None]
-            * (1.0 - d2[p] / dn2[p])[:, None, :]
-        ).reshape(rows, 3))
-        x = each(lambda p: _ipe_encode(pts[p], var[p], pos_pad).astype(bf))
+        mv = each(lambda p: _ipe_expand(
+            o[p], d[p], ts[p], deltas[p], sl(radii_ref, p), rows))
+        x = each(lambda p: _ipe_encode(
+            mv[p][0], mv[p][1], pos_pad).astype(bf))
     else:
         pts = each(lambda p: (
             o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]

@@ -156,10 +156,10 @@ def train_fused_supported(model_cfg: ModelConfig) -> bool:
 
 
 def fused_supported(model_cfg: ModelConfig) -> bool:
-    """The fused RENDER kernel covers the flagship paper architecture;
-    compat, hashgrid, and IPE (interval-Gaussian encoding) configs run
-    the XLA render path."""
-    return train_fused_supported(model_cfg) and not model_cfg.ipe
+    """The fused RENDER kernel covers the same family as the train
+    kernel — including IPE since the in-register interval expansion
+    landed in kernels/fused_ray.py too."""
+    return train_fused_supported(model_cfg)
 
 
 def _render_rays_ipe(
@@ -175,6 +175,9 @@ def _render_rays_ipe(
     n_rays_shape,
     fine_params: Optional[Params] = None,
     radii: Optional[jnp.ndarray] = None,
+    use_fused: bool = False,
+    packed=None,
+    fine_packed=None,
 ):
     """mip-NeRF rendering (arXiv 2103.13415): stratified INTERVAL edges
     along a cone per ray, each interval a conical-frustum Gaussian
@@ -196,8 +199,50 @@ def _render_rays_ipe(
               else radii[:, None])
     viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)
     noise_std = render_cfg.raw_noise_std if rand else 0.0
+    # fused whole-ray kernel path (forward only, no sigma noise): the
+    # interval moments + damped encoding live in-register in
+    # kernels/fused_ray.py — per-sample Gaussians never touch HBM
+    use_fused = use_fused and noise_std == 0.0
+    radii_flat = (jnp.full((n,), sampling.pixel_radius(camera),
+                           jnp.float32)
+                  if radii is None else radii)
 
-    def ipe_pass(pass_params, edges, noise_key):
+    def fused_ipe_pass(pass_params, edges, pass_packed) -> RenderOut:
+        from ..kernels.fused_ray import fused_ray_render
+        from ..kernels.fused_render import pack_weights
+
+        pk = pass_packed if pass_packed is not None else pack_weights(
+            pass_params, model_cfg)
+        t_mids = 0.5 * (edges[..., :-1] + edges[..., 1:])
+        deltas = edges[..., 1:] - edges[..., :-1]
+        S_p = t_mids.shape[-1]
+        R = max(8, min(128, (128 * 64) // max(S_p, 1)))
+        R = 1 << (R.bit_length() - 1)
+        npad = ((n + R - 1) // R) * R
+        o_p, d_p, vd_p = flat_o, flat_d, viewdirs
+        ts_p, dl_p, r_p = t_mids, deltas, radii_flat
+        if npad != n:
+            pad = lambda a, fill: jnp.concatenate(
+                [a, jnp.full((npad - n,) + a.shape[1:], fill, a.dtype)])
+            o_p, d_p, vd_p = pad(flat_o, 0.0), pad(flat_d, 1.0), pad(
+                viewdirs, 1.0)
+            ts_p, dl_p = pad(t_mids, 1.0), pad(deltas, 1e-3)
+            r_p = pad(radii_flat, 1e-3)
+        interpret = jax.default_backend() != "tpu"
+        rgb, acc, depth_v, w, sig = fused_ray_render(
+            pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S_p,
+            rays_per_block=R, interpret=interpret, radii=r_p,
+        )
+        rgb, acc, depth_v = rgb[:n], acc[:n], depth_v[:n]
+        w, sig = w[:n], sig[:n]
+        if render_cfg.white_background:
+            rgb = rgb + (1.0 - acc[..., None])
+        return RenderOut(rgb=rgb, weights=w, sigma=sig, depth=depth_v,
+                         acc=acc, ts=t_mids)
+
+    def ipe_pass(pass_params, edges, noise_key, pass_packed=None):
+        if use_fused:
+            return fused_ipe_pass(pass_params, edges, pass_packed)
         mean, var, t_mids, deltas = sampling.conical_gaussians(
             flat_o, flat_d, edges, base_r
         )
@@ -213,7 +258,8 @@ def _render_rays_ipe(
     edges = sampling.stratified_ts(
         k_coarse, n, S + 1, camera.near, camera.far, rand
     )
-    coarse = ipe_pass(params, edges, jax.random.fold_in(k_coarse, 1))
+    coarse = ipe_pass(params, edges, jax.random.fold_in(k_coarse, 1),
+                      pass_packed=packed)
 
     fine = None
     if render_cfg.num_fine_samples > 0:
@@ -226,6 +272,8 @@ def _render_rays_ipe(
         fine = ipe_pass(
             fine_params if fine_params is not None else params,
             fine_edges, jax.random.fold_in(k_fine, 1),
+            pass_packed=(fine_packed if fine_params is not None
+                         else packed),
         )
 
     def unflatten(out: RenderOut) -> RenderOut:
@@ -287,6 +335,7 @@ def render_rays(
             params, flat_o, flat_d, key, model_cfg, render_cfg, camera,
             rand, dtype, n_rays_shape, fine_params=fine_params,
             radii=None if radii is None else radii.reshape(-1),
+            use_fused=use_fused, packed=packed, fine_packed=fine_packed,
         )
 
     if prop_params is not None and not render_cfg.compat_sampling:

@@ -120,15 +120,41 @@ def test_ipe_config_validation():
 
 
 def test_ipe_fused_path_gates():
-    """IPE runs the whole-ray TRAIN kernel (in-register interval
-    moments + damped encoding) but not the render kernel; union fine
-    mode falls back to XLA."""
+    """IPE runs BOTH fused kernels (in-register interval moments +
+    damped encoding); union fine mode falls back to XLA for training."""
     from nerf_rs_tpu.train.step import whole_ray_supported
 
-    assert not render.fused_supported(MODEL)
+    assert render.fused_supported(MODEL)
     assert render.train_fused_supported(MODEL)
     cfg = _cfg(fine=12).replace(use_whole_ray_train=True)
     assert whole_ray_supported(cfg)
+
+
+def test_ipe_fused_render_matches_xla():
+    """fused whole-ray IPE rendering (interpret) vs the XLA IPE path:
+    same rgb/weights, coarse+fine, per-ray radii."""
+    cfg = _cfg(fine=12)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg.model)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (16, 1))
+    d = jnp.tile(jnp.asarray([[0.03, -0.02, 1.0]]), (16, 1))
+    radii = sampling.pixel_radius(cfg.camera) * (
+        1.0 + jnp.arange(16, dtype=jnp.float32) % 3)
+    key = jax.random.PRNGKey(1)
+    cx, fx = render.render_rays(
+        params, o, d, key, cfg.model, cfg.render, cfg.camera,
+        randomized=False, radii=radii, use_fused=False)
+    ck, fk = render.render_rays(
+        params, o, d, key, cfg.model, cfg.render, cfg.camera,
+        randomized=False, radii=radii, use_fused=True)
+    for a, b in ((cx, ck), (fx, fk)):
+        np.testing.assert_allclose(np.asarray(b.rgb), np.asarray(a.rgb),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(b.weights),
+                                   np.asarray(a.weights), atol=2e-2)
+        # fine edges resample from the (bf16-kernel) coarse weights, so
+        # fine ts shift by O(weight diff); coarse ts are deterministic
+        np.testing.assert_allclose(np.asarray(b.ts), np.asarray(a.ts),
+                                   atol=2e-3)
 
 
 @pytest.mark.parametrize("fine", [0, 12])
