@@ -146,6 +146,35 @@ def main():
     fac_ms = 1000.0 * min(fwin)
     fac_sps = num_rays * 128 / min(fwin) / nchips
 
+    # secondary: mip-NeRF IPE (anti-aliased) training through the
+    # whole-ray kernel with in-register interval moments — the mipnerf
+    # preset shape (64+128 standalone, softplus, white bg)
+    mcfg = Config(
+        camera=cfg.camera,
+        model=ModelConfig(ipe=True, sigma_activation="softplus"),
+        render=RenderConfig(num_samples=64, num_fine_samples=128,
+                            share_network=True, fine_mode="standalone",
+                            white_background=True),
+        train=cfg.train,
+        use_whole_ray_train=True,
+    )
+    mstate = dp.place_state(init_state(key, mcfg), mesh)
+    mstep = dp.make_dp_train_step(mcfg, mesh, dataset=ds)
+    for i in range(3):
+        mstate, maux = mstep(mstate, ds.images, ds.pose_data,
+                             jax.random.fold_in(key, 30000 + i))
+    float(jax.device_get(maux["loss"]))
+    mwin, mbase = [], 30003
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(mbase, mbase + 50):
+            mstate, maux = mstep(mstate, ds.images, ds.pose_data,
+                                 jax.random.fold_in(key, i))
+        float(jax.device_get(maux["loss"]))
+        mwin.append((time.perf_counter() - t0) / 50)
+        mbase += 50
+    mip_ms_step = 1000.0 * min(mwin)
+
     # secondary: 800x800 novel-view render (coarse-only flagship)
     rcam = CameraConfig(width=800, height=800)
     pose = rays_ops.pose_from_yaw_pitch(jnp.float32(0.3), jnp.float32(0.2))
@@ -180,6 +209,7 @@ def main():
             "render_800x800_s": round(render_s, 3),
             "render_windows_s": [round(w, 3) for w in render_windows],
             "hier_64_128_step_ms": round(hier_ms, 2),
+            "mipnerf_64_128_step_ms": round(mip_ms_step, 2),
             "factored_128_step_ms": round(fac_ms, 2),
             "factored_samples_per_sec_per_chip": round(fac_sps, 1),
             "device": str(jax.devices()[0].device_kind),
