@@ -69,8 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--dataset",
         default="multiview_png",
-        choices=["multiview_png", "blender", "sphere", "flat_sphere"],
+        choices=["multiview_png", "blender", "llff", "sphere",
+                 "flat_sphere"],
     )
+    common.add_argument("--llff_factor", type=int, default=1,
+                        help="LLFF image downsample factor (loads "
+                             "images_{factor}/ when present)")
+    common.add_argument("--llff_holdout", type=int, default=8,
+                        help="every Nth LLFF view is test (0 = none)")
     common.add_argument("--width", type=int, default=128)
     common.add_argument("--height", type=int, default=128)
     common.add_argument("--near", type=float, default=0.05)
@@ -119,6 +125,18 @@ def build_parser() -> argparse.ArgumentParser:
              ".py), or gather-free CP-factored multiresolution lines — "
              "the TPU-native fast field (models/factored.py)",
     )
+    _bool_flag(common, "contract", False,
+               "mip-NeRF 360 scene contraction (unbounded scenes): "
+               "sample positions map into the radius-2 ball before "
+               "encoding, far content compressing as 1/distance "
+               "(ops/contract.py; pair with --sampling_space disparity "
+               "— --preset unbounded for the full recipe)")
+    common.add_argument(
+        "--sampling_space", default="linear",
+        choices=["linear", "disparity"],
+        help="stratification space for the uniform sample draw: linear "
+             "(NeRF eq. 2) or disparity (even in 1/t, the mip-NeRF 360 "
+             "unbounded spacing; requires --near > 0)")
     _bool_flag(common, "ipe", False,
                "mip-NeRF integrated positional encoding: anti-aliased "
                "conical-frustum interval sampling (arch=nerf, XLA path; "
@@ -222,7 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--preset", default="",
         choices=["", "tiny", "full", "hierarchical", "record", "proposal",
-                 "pod", "ngp", "factored", "mipnerf"],
+                 "pod", "ngp", "factored", "mipnerf", "unbounded"],
         help="BASELINE.json config presets: tiny = 100x100 coarse-only "
              "4096-ray fit (config 1); full = paper NeRF, stratified 64 "
              "(config 2); hierarchical = coarse 64 + fine 128, white bg "
@@ -234,7 +252,10 @@ def build_parser() -> argparse.ArgumentParser:
              "ngp = Instant-NGP hash-grid field; factored = gather-free "
              "CP multiresolution field (TPU-native fast family); "
              "mipnerf = anti-aliased IPE interval sampling "
-             "(64+128 standalone, one MLP)",
+             "(64+128 standalone, one MLP); unbounded = mip-NeRF 360 "
+             "scene contraction + disparity sampling + annealed "
+             "2-level proposal + distortion loss (360-degree unbounded "
+             "captures)",
     )
 
     # train / render / eval / export subcommands (reference surface +
@@ -365,6 +386,18 @@ def _apply_preset(args):
         _set(arch="factored", sigma_activation="softplus",
              learning_rate=1e-2, num_samples=128,
              white_background=True)
+    elif p == "unbounded":
+        # mip-NeRF 360 unbounded recipe (arXiv 2111.12077): radius-2
+        # scene contraction + disparity-spaced sampling + annealed
+        # proposal resampling + distortion loss in disparity-s space.
+        # near/far bracket the procedural lego360 scene (data/
+        # procedural.field_360); override for other captures. XLA path
+        # (contracted points are outside the fused kernels' family).
+        _set(contract=True, sampling_space="disparity", near=0.3,
+             far=60.0, use_proposal=True, proposal_samples=64,
+             proposal_levels=2, num_samples=64, num_fine_samples=0,
+             proposal_anneal_steps=1000, distortion_weight=0.01,
+             sigma_activation="softplus", white_background=False)
     elif p == "mipnerf":
         # mip-NeRF (arXiv 2103.13415): IPE conical-frustum intervals,
         # ONE MLP for both levels, fine intervals composited standalone
@@ -413,6 +446,7 @@ def config_from_args(args) -> "Config":
             fac_l1=args.fac_l1,
             sigma_activation=args.sigma_activation,
             ipe=args.ipe,
+            contract=args.contract,
         )
         render_cfg = RenderConfig(
             num_samples=args.num_samples,
@@ -427,6 +461,7 @@ def config_from_args(args) -> "Config":
             occ_bins=args.occ_bins,
             occ_decay=args.occ_decay,
             occ_uniform_frac=args.occ_uniform_frac,
+            sampling_space=args.sampling_space,
         )
     return Config(
         debug=args.debug,
@@ -474,6 +509,8 @@ def config_from_args(args) -> "Config":
             use_native_loader=args.use_native_loader,
             data_workers=args.data_workers,
             shard_pixel_store=args.shard_pixel_store,
+            llff_factor=args.llff_factor,
+            llff_holdout=args.llff_holdout,
             multiscale_levels=args.multiscale_levels,
         ),
         proposal=ProposalConfig(

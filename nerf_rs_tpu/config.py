@@ -115,6 +115,14 @@ class ModelConfig:
     # pipelines it better; the kernel is a measured negative result
     # kept selectable (kernels/fused_factored.py; no point-cotangent).
     fac_fused: bool = False
+    # mip-NeRF 360 scene contraction (arXiv 2111.12077 eq. 10;
+    # ops/contract.py): sample positions (and IPE Gaussians, via the
+    # closed-form linearization) are contracted into the radius-2 ball
+    # before encoding — the unbounded-scene parameterization. Composes
+    # with every family (set hash_aabb/fac_aabb to 2 for the grid
+    # families). Pairs with RenderConfig.sampling_space="disparity".
+    # XLA path only (the fused kernels expand raw metric points).
+    contract: bool = False
 
 
 @dataclass(frozen=True)
@@ -161,8 +169,19 @@ class RenderConfig:
     # empty bins supervised so floaters can't grow unchecked (measured
     # -7 dB on sparse scenes without it; ops/occupancy.occupancy_ts)
     occ_uniform_frac: float = 0.25
+    # Stratification space for the uniform coarse/proposal sample draw:
+    # "linear" (NeRF eq. 2) or "disparity" (even in 1/t — mip-NeRF 360's
+    # unbounded spacing; pairs with ModelConfig.contract). Requires
+    # near > 0. Hierarchical/proposal RESAMPLING is space-free (the
+    # inverse CDF interpolates whatever bins it is given).
+    sampling_space: str = "linear"
 
     def __post_init__(self):
+        if self.sampling_space not in ("linear", "disparity"):
+            raise ValueError(
+                f"sampling_space must be 'linear' or 'disparity' "
+                f"(got {self.sampling_space!r})"
+            )
         if self.occ_res > 0 and self.occ_update_steps < 1:
             raise ValueError(
                 f"occ_update_steps must be >= 1 when occ_res > 0 "
@@ -264,7 +283,8 @@ class TrainConfig:
 class DataConfig:
     """Dataset selection + multiview batch semantics (src/dataset.rs:63-139)."""
 
-    dataset: str = "multiview_png"  # "multiview_png" | "blender" | "sphere" | "flat_sphere"
+    # "multiview_png" | "blender" | "llff" | "sphere" | "flat_sphere"
+    dataset: str = "multiview_png"
     img_dir: str = "data/monkey-128-no-shading-2d-6"  # cli.rs:19-20
     view_start: int = 0  # cli.rs:22-23
     view_end: int = 84  # cli.rs:25-26
@@ -301,6 +321,9 @@ class DataConfig:
     # then multiplies each loss by area 4^l — a constant per-level weight,
     # which equal partitioning gives directly with unit loss weights.
     multiscale_levels: int = 1
+    # LLFF real-capture options (data/llff.py, dataset="llff"):
+    llff_factor: int = 1  # load images_{factor}/ or decimate by it
+    llff_holdout: int = 8  # every Nth view is test ("llffhold"); 0 = none
 
 
 @dataclass(frozen=True)
@@ -374,6 +397,35 @@ class Config:
                     "--multiscale_levels with --shard_pixel_store is not "
                     "supported (shard the full-res store or the pyramid, "
                     "not both)"
+                )
+        if self.model.contract:
+            if self.model.compat or self.render.compat_sampling:
+                raise ValueError(
+                    "--contract is not part of the compat surface"
+                )
+            if self.camera.ndc:
+                raise ValueError(
+                    "--contract and --ndc are competing scene "
+                    "reparameterizations (radial contraction vs the "
+                    "forward-facing projective warp) — pick one"
+                )
+            if self.render.occ_res > 0:
+                raise ValueError(
+                    "--contract with --occ_res is not supported: the "
+                    "occupancy grid samples metric world ts inside its "
+                    "AABB, which double-counts the contraction (grid the "
+                    "contracted domain instead if this is ever needed)"
+                )
+        if self.render.sampling_space == "disparity":
+            if self.camera.near <= 0.0:
+                raise ValueError(
+                    "--sampling_space disparity stratifies in 1/t: "
+                    f"--near must be > 0 (got {self.camera.near})"
+                )
+            if self.render.compat_sampling:
+                raise ValueError(
+                    "--sampling_space disparity is not part of the "
+                    "compat surface"
                 )
         if self.model.ipe:
             if self.model.arch != "nerf" or self.model.compat:

@@ -92,6 +92,33 @@ def make_dataset(
             white_background=cfg.render.white_background, sharding=sharding,
             multiscale_levels=d.multiscale_levels,
         )
+    if d.dataset == "llff":
+        from . import llff
+
+        scene = llff.load_llff(
+            d.img_dir, split=split, factor=d.llff_factor,
+            holdout=d.llff_holdout,
+        )
+        cam = cfg.camera
+        camera = cam.__class__(
+            width=scene.width,
+            height=scene.height,
+            fov=2.0 * math.atan(0.5 * scene.width / scene.focal),
+            # NDC mode (the standard for these captures) keeps the
+            # configured [0, 1] range; metric mode inherits the
+            # capture's own COLMAP bounds unless the user set tighter
+            near=cam.near if cam.ndc else (cam.near or scene.near),
+            far=cam.far if cam.ndc else max(cam.far, scene.far),
+            focal=float(scene.focal),
+            ndc=cam.ndc,
+            ndc_near=cam.ndc_near,
+        )
+        imgs, c2w = _slice(scene.images, scene.c2w)
+        return DeviceDataset(
+            imgs, camera, c2w=c2w,
+            white_background=cfg.render.white_background, sharding=sharding,
+            multiscale_levels=d.multiscale_levels,
+        )
     if d.dataset == "blender":
         scene = blender.load_blender(d.img_dir, split=split)
         cam = cfg.camera

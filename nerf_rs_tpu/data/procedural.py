@@ -217,6 +217,66 @@ def field_facing(points: jnp.ndarray, sharpness: float = 250.0
 FACING_DEPTH = 4.0
 
 
+def field_360(points: jnp.ndarray, sharpness: float = 50.0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unbounded 360-degree scene ("proc360") for the mip-NeRF 360
+    recipe (--contract + --sampling_space disparity): the lego-class
+    central object PLUS surroundings extending to ~40 units — a
+    textured ground disc, a ring of pillars at radius ~9, and large
+    far spheres at 18-26 units. Geometry scale GROWS with distance on
+    purpose: disparity-spaced sampling resolves ~(dg/N) t^2 in metric
+    distance, so far primitives are sized several samples wide at their
+    range, exactly the regime the contraction allocates capacity for.
+    Softer sharpness (50 vs the bounded scenes' 250) keeps every
+    surface resolvable at the 1024-sample disparity gold integration.
+    """
+    p = points
+    sigma_c, rgb_c = field(p, sharpness=sharpness * 3.0)  # central object
+
+    # ground disc: thin slab to radius 40, ring-textured
+    rad = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    ground = jnp.maximum(jnp.abs(p[..., 2] + 0.55) - 0.30, rad - 40.0)
+    # pillar ring: 8 cylinders at radius 9 (radius 1.2, height 5),
+    # placed by snapping azimuth to the nearest of 8 spokes
+    az = jnp.arctan2(p[..., 1], p[..., 0])
+    spoke = jnp.round(az / (math.pi / 4.0)) * (math.pi / 4.0)
+    cx, cy = 9.0 * jnp.cos(spoke), 9.0 * jnp.sin(spoke)
+    d_rad = jnp.sqrt((p[..., 0] - cx) ** 2 + (p[..., 1] - cy) ** 2) - 1.2
+    d_cap = jnp.abs(p[..., 2] - 2.2) - 2.8
+    pillars = jnp.maximum(d_rad, d_cap)
+    # far landmarks: three large spheres at 18-26 units
+    s1 = _sd_sphere(p, (18.0, 6.0, 4.0), 5.0)
+    s2 = _sd_sphere(p, (-14.0, -17.0, 6.0), 6.0)
+    s3 = _sd_sphere(p, (-4.0, 24.0, 9.0), 7.0)
+    far_s = jnp.minimum(jnp.minimum(s1, s2), s3)
+
+    sdfs = jnp.stack([ground, pillars, far_s], axis=-1)
+    sdf = jnp.min(sdfs, axis=-1)
+    prim = jnp.argmin(sdfs, axis=-1)
+    sigma_b = 60.0 * jax.nn.sigmoid(-sdf * sharpness)
+
+    palette = jnp.asarray([
+        [0.45, 0.42, 0.38],  # ground: warm gray
+        [0.70, 0.30, 0.20],  # pillars: brick
+        [0.25, 0.45, 0.75],  # far spheres: blue
+    ], jnp.float32)
+    base = palette[prim]
+    # textures scale with distance (constant angular frequency as seen
+    # from the origin): rings on the ground, azimuth stripes elsewhere
+    rings = 0.5 + 0.5 * jnp.sin(3.0 * rad)
+    stripes = 0.5 + 0.5 * jnp.sin(12.0 * az + 1.5 * p[..., 2])
+    mod = jnp.where(prim == 0, 0.4 + 0.6 * rings, 0.45 + 0.55 * stripes)
+    rgb_b = jnp.clip(base * mod[..., None], 0.0, 1.0)
+
+    # union of the central field and the background field: densities
+    # add; color is the density-weighted mix (exact for disjoint
+    # supports, which these are by construction)
+    sigma = sigma_c + sigma_b
+    w = sigma_c / jnp.maximum(sigma, 1e-6)
+    rgb = w[..., None] * rgb_c + (1.0 - w[..., None]) * rgb_b
+    return sigma, rgb
+
+
 def forward_facing_poses(n: int, seed: int) -> np.ndarray:
     """n cameras jittered on a small plane near the world origin, all
     looking toward the content plane at z = -FACING_DEPTH — an
@@ -239,7 +299,8 @@ def forward_facing_poses(n: int, seed: int) -> np.ndarray:
     ]).astype(np.float32)
 
 
-FIELDS = {"lego": field, "helix": field_helix, "facing": field_facing}
+FIELDS = {"lego": field, "helix": field_helix, "facing": field_facing,
+          "lego360": field_360}
 
 
 def look_at_c2w(eye: np.ndarray, target=(0.0, 0.0, 0.15),
@@ -276,11 +337,15 @@ def hemisphere_poses(n: int, seed: int, radius: float = CAMERA_RADIUS
 def render_gold(c2w, height: int, width: int, focal: float,
                 near: float = 2.0, far: float = 6.0,
                 num_samples: int = 512, chunk: int = 4096,
-                field_fn=field) -> np.ndarray:
+                field_fn=field, space: str = "linear") -> np.ndarray:
     # chunk=4096: XLA pads the (chunk, S, 3|5) point/sdf temps to 128
     # lanes (42x), so a 65536-ray chunk at 512 samples OOMs a 16 GB HBM
     """Integrate the analytic field to an (H, W, 4) float frame
-    (unpremultiplied rgb + alpha=acc), chunked over rays."""
+    (unpremultiplied rgb + alpha=acc), chunked over rays.
+
+    ``space="disparity"`` integrates on 1/t-even midpoints (the
+    unbounded lego360 scene: far content needs metric spacing that
+    grows with distance, and the trained model samples the same way)."""
     from ..ops import rays as rays_ops
     from ..ops.render import composite
     from ..ops.sampling import deltas_from_ts
@@ -293,7 +358,10 @@ def render_gold(c2w, height: int, width: int, focal: float,
     if pad:
         flat_o = jnp.concatenate([flat_o, jnp.zeros((pad, 3))])
         flat_d = jnp.concatenate([flat_d, jnp.ones((pad, 3))])
-    ts = jnp.linspace(near, far, num_samples + 1)
+    if space == "disparity":
+        ts = 1.0 / jnp.linspace(1.0 / near, 1.0 / far, num_samples + 1)
+    else:
+        ts = jnp.linspace(near, far, num_samples + 1)
     ts = 0.5 * (ts[:-1] + ts[1:])  # bin midpoints
 
     @jax.jit
@@ -324,10 +392,16 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
     field_fn = FIELDS[scene]
     from .images import save_png
 
-    # forward-facing scene: LLFF-style rig + content-bracketing planes
+    # forward-facing scene: LLFF-style rig + content-bracketing planes;
+    # lego360: unbounded surroundings -> disparity-spaced gold
+    # integration over [0.3, 60] (see field_360 / --preset unbounded)
     facing = scene == "facing"
     pose_fn = forward_facing_poses if facing else hemisphere_poses
     near, far = (1.5, 7.5) if facing else (2.0, 6.0)
+    space = "linear"
+    if scene == "lego360":
+        near, far, space = 0.3, 60.0, "disparity"
+        num_samples = max(num_samples, 1024)
     focal = 0.5 * size / math.tan(0.5 * CAMERA_ANGLE_X)
     splits = [("train", n_train, seed + 1), ("val", n_val, seed + 2),
               ("test", n_test, seed + 3)]
@@ -338,7 +412,7 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
         for i in range(n):
             img = render_gold(poses[i], size, size, focal, near=near,
                               far=far, num_samples=num_samples,
-                              field_fn=field_fn)
+                              field_fn=field_fn, space=space)
             save_png(os.path.join(out_dir, split, f"r_{i}.png"), img)
             frames.append({
                 "file_path": f"./{split}/r_{i}",

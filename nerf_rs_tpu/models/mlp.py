@@ -185,6 +185,17 @@ def apply_nerf(
     """
     if cfg.compat:
         return _apply_compat(params, points, cfg, dtype, noise_std, noise_key)
+    if cfg.contract:
+        # mip-NeRF 360 scene contraction (ops/contract.py): every family
+        # then encodes the bounded radius-2 domain; IPE Gaussians push
+        # through the closed-form linearization. Upstream of the arch
+        # dispatch on purpose — one hook covers PE/IPE/hash/factored.
+        from ..ops.contract import contract, contract_gaussian
+
+        if pos_var is not None:
+            points, pos_var = contract_gaussian(points, pos_var)
+        else:
+            points = contract(points)
     if cfg.arch in ("hashgrid", "factored"):
         if cfg.arch == "hashgrid":
             from .hashgrid import apply_hashgrid as apply_fn

@@ -39,13 +39,21 @@ def init_proposal_params(key: jax.Array, pcfg: ProposalConfig) -> Params:
 
 
 def apply_proposal(
-    params: Params, points: jnp.ndarray, pcfg: ProposalConfig, dtype=None
+    params: Params, points: jnp.ndarray, pcfg: ProposalConfig, dtype=None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """Density at world ``points`` (..., 3) -> sigma (...,), relu'd f32.
 
     No view directions, no rgb head, no skip connection — at 4 layers
     the skip buys nothing, and density is all the resampler needs.
+    ``contract``: unbounded configs (ModelConfig.contract) warp the
+    proposal's points through the SAME contraction as the main field —
+    the two networks must agree on the coordinate chart.
     """
+    if contract:
+        from ..ops.contract import contract as _contract
+
+        points = _contract(points)
     x = posenc(points, pcfg.pos_enc_levels, True)
     if dtype is not None and dtype != jnp.float32:
         x = x.astype(dtype)

@@ -45,12 +45,13 @@ def weights_from_sigma(sigma: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
 
 def proposal_weights(
     prop_params, origins, dirs, ts_p, pcfg: ProposalConfig, far: float,
-    dtype=None,
+    dtype=None, contract: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(weights (..., P), edges (..., P+1)) of the proposal histogram
     along each ray — differentiable w.r.t. prop_params."""
     pts = sampling.points_from_ts(origins, dirs, ts_p)
-    sigma_p = apply_proposal(prop_params, pts, pcfg, dtype)
+    sigma_p = apply_proposal(prop_params, pts, pcfg, dtype,
+                             contract=contract)
     deltas = sampling.deltas_from_ts(ts_p, far)
     return weights_from_sigma(sigma_p, deltas), edges_from_ts(ts_p)
 
@@ -75,6 +76,8 @@ def proposal_resample(
     randomized: bool,
     dtype=None,
     anneal=None,
+    space: str = "linear",
+    contract: bool = False,
 ) -> Tuple[jnp.ndarray, Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]]:
     """Main-network sample distances guided by ``pcfg.num_levels``
     rounds of resampling through the one shared proposal MLP:
@@ -86,13 +89,17 @@ def proposal_resample(
     level-(l+1) positions are constants w.r.t. prop_params."""
     keys = jax.random.split(key, pcfg.num_levels + 1)
     n = origins.shape[0]
+    # only the LEVEL-0 draw has a space: later levels inverse-CDF
+    # resample the previous histogram, which is space-free
     ts = sampling.stratified_ts(
-        keys[0], n, pcfg.num_samples, camera.near, camera.far, randomized
+        keys[0], n, pcfg.num_samples, camera.near, camera.far, randomized,
+        space=space,
     )
     hists = []
     for lvl in range(pcfg.num_levels):
         w, bins = proposal_weights(
-            prop_params, origins, dirs, ts, pcfg, camera.far, dtype
+            prop_params, origins, dirs, ts, pcfg, camera.far, dtype,
+            contract=contract,
         )
         hists.append((bins, w))
         w_draw = anneal_weights(jax.lax.stop_gradient(w), anneal)

@@ -82,6 +82,7 @@ def distortion_loss(
     ts: jnp.ndarray,
     near: float,
     far: float,
+    space: str = "linear",
 ) -> jnp.ndarray:
     """mip-NeRF 360 distortion loss (eq. 15, arXiv 2111.12077), adapted
     to point samples: with s = the sample positions normalized to
@@ -104,9 +105,19 @@ def distortion_loss(
     weights receive gradient.
     """
     ts = jax.lax.stop_gradient(ts)
-    inv_span = 1.0 / (far - near)
-    s = (ts - near) * inv_span
-    d = sampling.deltas_from_ts(ts, far) * inv_span
+    if space == "disparity":
+        # normalize in the SAMPLING space (mip-NeRF 360 defines the loss
+        # over s, the normalized ray coordinate — disparity for
+        # unbounded configs): s = (1/near - 1/t) / (1/near - 1/far),
+        # monotone increasing in t so the prefix-sum identity holds
+        g0, g1 = 1.0 / near, 1.0 / far
+        s = (g0 - 1.0 / ts) / (g0 - g1)
+        last = jnp.ones_like(s[..., :1])
+        d = jnp.concatenate([s[..., 1:], last], axis=-1) - s
+    else:
+        inv_span = 1.0 / (far - near)
+        s = (ts - near) * inv_span
+        d = sampling.deltas_from_ts(ts, far) * inv_span
     cw = jnp.cumsum(weights, axis=-1)
     cwm = jnp.cumsum(weights * s, axis=-1)
     w_tot = cw[..., -1:]
@@ -152,6 +163,10 @@ def train_fused_supported(model_cfg: ModelConfig) -> bool:
         and model_cfg.rgb_activation == "sigmoid"
         and model_cfg.include_input_in_enc
         and model_cfg.sigma_activation in ("relu", "softplus")
+        # the kernels expand and encode raw metric points in-register;
+        # contracted configs fall back to XLA (disparity SAMPLING still
+        # composes with the kernels — ts are drawn upstream)
+        and not model_cfg.contract
     )
 
 
@@ -256,7 +271,8 @@ def _render_rays_ipe(
         )
 
     edges = sampling.stratified_ts(
-        k_coarse, n, S + 1, camera.near, camera.far, rand
+        k_coarse, n, S + 1, camera.near, camera.far, rand,
+        space=render_cfg.sampling_space,
     )
     coarse = ipe_pass(params, edges, jax.random.fold_in(k_coarse, 1),
                       pass_packed=packed)
@@ -344,6 +360,7 @@ def render_rays(
         ts, _ = prop_ops.proposal_resample(
             k_coarse, flat_o, flat_d, prop_params, prop_cfg,
             render_cfg.num_samples, camera, rand, dtype,
+            space=render_cfg.sampling_space, contract=model_cfg.contract,
         )
     elif grid is not None and not render_cfg.compat_sampling:
         # occupancy-guided sampling: the budget concentrates in occupied
@@ -358,7 +375,8 @@ def render_rays(
         ts = sampling.compat_ts(k_coarse, n, render_cfg.num_samples, camera.far, rand)
     else:
         ts = sampling.stratified_ts(
-            k_coarse, n, render_cfg.num_samples, camera.near, camera.far, rand
+            k_coarse, n, render_cfg.num_samples, camera.near, camera.far,
+            rand, space=render_cfg.sampling_space,
         )
 
     viewdirs = flat_d / jnp.linalg.norm(flat_d, axis=-1, keepdims=True)

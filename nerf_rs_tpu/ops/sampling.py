@@ -30,14 +30,29 @@ def stratified_ts(
     near: float,
     far: float,
     randomized: bool = True,
+    space: str = "linear",
 ) -> jnp.ndarray:
     """Stratified sample distances: (num_rays, num_samples), sorted.
 
     Partitions [near, far] into num_samples even bins and draws one
     uniform sample per bin (NeRF eq. 2). With randomized=False, returns
     bin midpoints (deterministic eval).
+
+    ``space="disparity"`` stratifies in 1/t instead (mip-NeRF 360's
+    unbounded-scene spacing, arXiv 2111.12077 §2 — LLFF-lineage
+    "lindisp"): bins are even in disparity between 1/near and 1/far, so
+    the sample budget falls off as 1/t^2 in metric distance — matching
+    both the perspective footprint and the scene contraction's radial
+    compression (ops/contract.py). Requires near > 0 (Config validates).
+    Returned ts are still ASCENDING in t — disparity bins are laid out
+    descending so every downstream consumer (deltas, merge, compositing)
+    keeps its sorted-by-construction invariant.
     """
-    bins = jnp.linspace(near, far, num_samples + 1)
+    if space == "disparity":
+        bins = 1.0 / jnp.linspace(1.0 / near, 1.0 / far, num_samples + 1)
+    else:
+        assert space == "linear", space
+        bins = jnp.linspace(near, far, num_samples + 1)
     lower, upper = bins[:-1], bins[1:]
     if randomized:
         u = jax.random.uniform(key, (num_rays, num_samples))

@@ -127,7 +127,8 @@ def _log_diagnostics(tb: TBLogger, dataset, cfg: Config, it: int, key,
         ts = sampling.compat_ts(kt, n, cfg.render.num_samples, cfg.camera.far)
     else:
         ts = sampling.stratified_ts(
-            kt, n, cfg.render.num_samples, cfg.camera.near, cfg.camera.far
+            kt, n, cfg.render.num_samples, cfg.camera.near, cfg.camera.far,
+            space=cfg.render.sampling_space,
         )
     tb.ray_ts(np.asarray(ts), it)
     pts = sampling.points_from_ts(origins, dirs, ts)

@@ -209,7 +209,8 @@ def loss_fn(
         finest = coarse
     if cfg.train.distortion_weight > 0.0:
         loss_d = render.distortion_loss(
-            finest.weights, finest.ts, cfg.camera.near, cfg.camera.far
+            finest.weights, finest.ts, cfg.camera.near, cfg.camera.far,
+            space=cfg.render.sampling_space,
         )
         loss = loss + cfg.train.distortion_weight * loss_d
         aux["loss_dist"] = loss_d
@@ -243,7 +244,8 @@ def _proposal_loss(
     ts_m, hists = prop_ops.proposal_resample(
         key, batch.origins, batch.dirs, prop_params, cfg.proposal,
         cfg.render.num_samples, cfg.camera, cfg.render.randomized, dtype,
-        anneal=_prop_anneal(cfg, step),
+        anneal=_prop_anneal(cfg, step), space=cfg.render.sampling_space,
+        contract=cfg.model.contract,
     )
     gold_rgb = batch.gold[..., :3]
     if main_weights_fn is None:
@@ -282,7 +284,8 @@ def _proposal_loss(
     }
     if cfg.train.distortion_weight > 0.0:
         loss_d = render.distortion_loss(
-            w_m, ts_m, cfg.camera.near, cfg.camera.far
+            w_m, ts_m, cfg.camera.near, cfg.camera.far,
+            space=cfg.render.sampling_space,
         )
         loss = loss + cfg.train.distortion_weight * loss_d
         aux["loss_dist"] = loss_d
@@ -318,12 +321,13 @@ def _whole_ray_proposal_grads(
         ts = sampling.stratified_ts(
             keys[0], n, pcfg.num_samples, cfg.camera.near,
             cfg.camera.far, cfg.render.randomized,
+            space=cfg.render.sampling_space,
         )
         hists = []
         for lvl in range(pcfg.num_levels):
             w, bins = prop_ops.proposal_weights(
                 pp, batch.origins, batch.dirs, ts, pcfg,
-                cfg.camera.far, dtype,
+                cfg.camera.far, dtype, contract=cfg.model.contract,
             )
             hists.append((w, bins))
             if lvl < pcfg.num_levels - 1:
@@ -393,6 +397,12 @@ def whole_ray_supported(cfg: Config) -> bool:
         # rejects those combinations for ipe)
         and not (cfg.model.ipe and cfg.render.num_fine_samples > 0
                  and cfg.render.fine_mode != "standalone")
+        # the in-kernel distortion loss normalizes s linearly over
+        # [near, far]; disparity-space configs need the disparity-
+        # normalized loss (ops/render.distortion_loss) -> XLA fallback.
+        # (contract configs are already excluded by train_fused_supported)
+        and not (cfg.render.sampling_space == "disparity"
+                 and cfg.train.distortion_weight > 0.0)
     )
 
 
@@ -475,6 +485,7 @@ def whole_ray_grads(
         edges = sampling.stratified_ts(
             k_coarse, n, cfg.render.num_samples + 1, cfg.camera.near,
             cfg.camera.far, cfg.render.randomized,
+            space=cfg.render.sampling_space,
         )
         ts = 0.5 * (edges[..., :-1] + edges[..., 1:])
         deltas = edges[..., 1:] - edges[..., :-1]
@@ -498,6 +509,7 @@ def whole_ray_grads(
         ts = sampling.stratified_ts(
             k_coarse, n, cfg.render.num_samples, cfg.camera.near,
             cfg.camera.far, cfg.render.randomized,
+            space=cfg.render.sampling_space,
         )
     vd = batch.dirs / jnp.linalg.norm(batch.dirs, axis=-1, keepdims=True)
     dist_w = cfg.train.distortion_weight

@@ -25,10 +25,11 @@ def main(argv=None) -> int:
                    help="gold integration samples per ray")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scene", default="lego",
-                   choices=["lego", "helix", "facing"],
+                   choices=["lego", "helix", "facing", "lego360"],
                    help="procedural field (data/procedural.FIELDS); "
                    "'facing' is the LLFF-style forward-facing rig for "
-                   "--ndc training")
+                   "--ndc training; 'lego360' the unbounded-surroundings "
+                   "scene for --preset unbounded")
     args = p.parse_args(argv)
 
     from nerf_rs_tpu.data.procedural import make_blender_scene
