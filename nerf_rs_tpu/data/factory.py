@@ -8,6 +8,7 @@ synthetic sphere fixtures (SURVEY §2.6).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import numpy as np
@@ -100,15 +101,23 @@ def make_dataset(
             holdout=d.llff_holdout,
         )
         cam = cfg.camera
+        # NDC mode (the standard for these captures) keeps the
+        # configured [0, 1] range; metric mode inherits the capture's
+        # own COLMAP bounds unless the user moved near/far off the
+        # parser defaults (explicitness proxy: a user re-passing the
+        # exact default is indistinguishable, and gets the scene bound)
+        defaults = {f.name: f.default for f in dataclasses.fields(cam)}
+        if cam.ndc:
+            near, far = cam.near, cam.far
+        else:
+            near = cam.near if cam.near != defaults["near"] else scene.near
+            far = cam.far if cam.far != defaults["far"] else scene.far
         camera = cam.__class__(
             width=scene.width,
             height=scene.height,
             fov=2.0 * math.atan(0.5 * scene.width / scene.focal),
-            # NDC mode (the standard for these captures) keeps the
-            # configured [0, 1] range; metric mode inherits the
-            # capture's own COLMAP bounds unless the user set tighter
-            near=cam.near if cam.ndc else (cam.near or scene.near),
-            far=cam.far if cam.ndc else max(cam.far, scene.far),
+            near=near,
+            far=far,
             focal=float(scene.focal),
             ndc=cam.ndc,
             ndc_near=cam.ndc_near,

@@ -53,7 +53,14 @@ def _avg_pose(c2w: np.ndarray) -> np.ndarray:
 
 
 def _normalize(v):
-    return v / np.linalg.norm(v)
+    n = np.linalg.norm(v)
+    if n < 1e-8:
+        raise ValueError(
+            "degenerate capture: average camera direction/up cancels "
+            "to zero (e.g. a symmetric inward-facing rig) — disable "
+            "recentering or fix the poses"
+        )
+    return v / n
 
 
 def _pad4(m: np.ndarray) -> np.ndarray:
@@ -104,9 +111,10 @@ def load_llff(
     decimate ``images/`` by the integer factor (focal scales with it).
     ``holdout``: the community split — every ``holdout``-th view is
     test, the rest train ("llffhold=8"); 0 = everything in both splits.
-    ``rescale``: scale translations + bounds by scale_near/min(near
-    bound) so the nearest scene content sits just beyond t=1 — the
-    ndc_near=1 world plane. ``split``: "train" | "test" | "all".
+    ``rescale``: scale translations + bounds by 1/(scale_near *
+    min(near bound)) so the nearest scene content sits at
+    1/scale_near, just beyond t=1 — the ndc_near=1 world plane.
+    ``split``: "train" | "test" | "all".
     """
     c2w, hwf, bounds = load_poses_bounds(
         os.path.join(scene_dir, "poses_bounds.npy")
@@ -129,7 +137,12 @@ def load_llff(
         )
 
     if rescale:
-        sc = scale_near / float(bounds[:, 0].min())
+        # Canonical LLFF normalization: sc = 1/(bd_factor * min(near)).
+        # min(near) * sc = 1/scale_near = 1.333 — just BEYOND the
+        # ndc_near=1 world plane that ndc_rays shifts origins to, so the
+        # nearest content is never clipped. (scale_near/min(near) — the
+        # inverted form — would land it at 0.75, INSIDE the near plane.)
+        sc = 1.0 / (scale_near * float(bounds[:, 0].min()))
         c2w = c2w.copy()
         c2w[:, :3, 3] *= sc
         bounds = bounds * sc

@@ -34,9 +34,17 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
+def _safe_norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """||x|| with a finite gradient at x=0: clamp UNDER the sqrt.
+    (maximum(norm(x), eps) is not enough — norm's d/dx at 0 is 0/0=NaN
+    and 0*NaN through the chain rule stays NaN.)"""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True),
+                                eps * eps))
+
+
 def contract(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Contract points (..., 3) into the radius-2 ball (eq. 10)."""
-    r = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    r = _safe_norm(x, eps)
     safe = jnp.maximum(r, 1.0)  # inside the unit ball the branch is id
     return jnp.where(r <= 1.0, x, (2.0 - 1.0 / safe) * x / safe)
 
@@ -59,7 +67,7 @@ def contract_gaussian(
         diag(J Sigma J^T)_i = g^2 s_i + 2 g (g'/r) x_i^2 s_i
                               + (g'/r)^2 x_i^2 * sum_j x_j^2 s_j
     """
-    r = jnp.linalg.norm(mean, axis=-1, keepdims=True)
+    r = _safe_norm(mean, eps)
     safe = jnp.maximum(r, 1.0)
     inside = r <= 1.0
     g = 2.0 / safe - 1.0 / (safe * safe)

@@ -115,6 +115,8 @@ def make_multiscene_train_step(cfg: Config, mesh: Mesh, n_scenes: int):
         aux_spec["loss_fine"] = P(SCENE_AXIS)
     if cfg.proposal.enabled:
         aux_spec["loss_prop"] = P(SCENE_AXIS)
+    if cfg.train.distortion_weight > 0.0:
+        aux_spec["loss_dist"] = P(SCENE_AXIS)
     sharded = jax.shard_map(
         _local,
         mesh=mesh,

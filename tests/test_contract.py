@@ -46,6 +46,22 @@ def test_contract_maps_into_radius2_ball_monotonically():
     assert (np.diff(r_out[order]) > -1e-4).all()  # f32 noise at large r
 
 
+def test_contract_finite_gradient_at_origin():
+    """A sample landing exactly at the origin must not NaN the step:
+    norm's 0/0 gradient leaks through jnp.where (0*NaN=NaN) unless the
+    clamp sits UNDER the sqrt."""
+    x = jnp.zeros((4, 3))
+    g = jax.grad(lambda p: jnp.sum(contract(p)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    gm, gv = jax.grad(
+        lambda p: jnp.sum(sum(contract_gaussian(p, jnp.ones_like(p))))
+    )(x), None
+    assert np.isfinite(np.asarray(gm)).all()
+    m, v = contract_gaussian(x, jnp.full((4, 3), 0.1))
+    assert np.isfinite(np.asarray(m)).all()
+    assert np.isfinite(np.asarray(v)).all()
+
+
 def test_contract_continuous_at_unit_sphere():
     d = np.array(_pts(jax.random.PRNGKey(2), n=32, lo=1.0, hi=1.0))
     d = d / np.linalg.norm(d, axis=-1, keepdims=True)

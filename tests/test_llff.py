@@ -53,13 +53,14 @@ def test_pose_convention_roundtrip(tmp_path):
 def test_load_llff_rescale_recenter_and_split(tmp_path):
     c2w = _write_capture(tmp_path, n=9)
     scene = llff.load_llff(str(tmp_path), split="all", holdout=0)
-    # rescale: min near bound lands at scale_near=0.75 -> nearest
-    # content just beyond the ndc_near=1 plane
-    np.testing.assert_allclose(scene.near, 0.75, rtol=1e-6)
-    np.testing.assert_allclose(scene.far, 0.75 / 2.0 * 12.0, rtol=1e-6)
+    # rescale: min near bound lands at 1/scale_near = 1.333 -> nearest
+    # content just BEYOND the ndc_near=1 plane (the canonical LLFF
+    # sc = 1/(bd_factor*min(near)) normalization)
+    np.testing.assert_allclose(scene.near, 1.0 / 0.75, rtol=1e-6)
+    np.testing.assert_allclose(scene.far, 12.0 / (0.75 * 2.0), rtol=1e-6)
     # recenter: a global rigid transform — pairwise camera distances
     # are preserved up to the rescale factor
-    sc = 0.75 / 2.0
+    sc = 1.0 / (0.75 * 2.0)
     d_in = np.linalg.norm(
         c2w[:, :3, 3][None] - c2w[:, :3, 3][:, None], axis=-1)
     d_out = np.linalg.norm(
