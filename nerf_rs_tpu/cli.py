@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(common, "debug", False, "render gold instead of predictions")
     _bool_flag(common, "do_train", True)
     _bool_flag(common, "eval_on_train", True)
+    _bool_flag(common, "live_preview", False,
+               "print eval frames in-terminal (ANSI half-blocks) — the "
+               "headless form of the reference's live window")
     _bool_flag(common, "log_densities_only", False)
     common.add_argument("--img_dir", default="data/monkey-128-no-shading-2d-6")
     common.add_argument("--view_start", type=int, default=0)
@@ -391,13 +394,15 @@ def _apply_preset(args):
         # scene contraction + disparity-spaced sampling + annealed
         # proposal resampling + distortion loss in disparity-s space.
         # near/far bracket the procedural lego360 scene (data/
-        # procedural.field_360); override for other captures. XLA path
-        # (contracted points are outside the fused kernels' family).
+        # procedural.field_360); override for other captures. Default
+        # path: whole-ray fused kernel (contraction + disparity-s
+        # distortion both live in-register since round 4).
         _set(contract=True, sampling_space="disparity", near=0.3,
              far=60.0, use_proposal=True, proposal_samples=64,
              proposal_levels=2, num_samples=64, num_fine_samples=0,
              proposal_anneal_steps=1000, distortion_weight=0.01,
-             sigma_activation="softplus", white_background=False)
+             sigma_activation="softplus", white_background=False,
+             use_whole_ray_train=True)
     elif p == "mipnerf":
         # mip-NeRF (arXiv 2103.13415): IPE conical-frustum intervals,
         # ONE MLP for both levels, fine intervals composited standalone
@@ -467,6 +472,7 @@ def config_from_args(args) -> "Config":
         debug=args.debug,
         do_train=args.do_train,
         eval_on_train=args.eval_on_train,
+        live_preview=args.live_preview,
         log_densities_only=args.log_densities_only,
         log_dir=args.log_dir,
         save_dir=args.save_dir,

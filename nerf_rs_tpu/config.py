@@ -333,6 +333,8 @@ class Config:
     debug: bool = False
     do_train: bool = True
     eval_on_train: bool = True
+    live_preview: bool = False  # ANSI half-block eval frame in-terminal
+    # (the headless form of the reference's live window, display.rs)
     log_densities_only: bool = False
     log_dir: str = "logs"  # cli.rs:34-35
     save_dir: str = "checkpoints"  # cli.rs:37-38
@@ -431,18 +433,15 @@ class Config:
             if self.model.arch != "nerf" or self.model.compat:
                 raise ValueError("--ipe requires the paper arch "
                                  "(arch=nerf, compat off)")
-            if (self.render.num_fine_samples > 0
-                    and self.render.fine_mode != "standalone"):
+            # fine_mode: "standalone" composites the resampled intervals
+            # alone (mip-NeRF's scheme); "union" runs the fine pass on
+            # the MERGED coarse+resampled edge set. occ_res > 0 draws
+            # the coarse edges from the occupancy PDF
+            # (ops/occupancy.occupancy_edges) — interval-aware skipping.
+            if self.proposal.enabled or self.render.compat_sampling:
                 raise ValueError(
-                    "--ipe hierarchical sampling composites the resampled "
-                    "intervals standalone (mip-NeRF's scheme) — set "
-                    "--fine_mode standalone"
-                )
-            if (self.proposal.enabled or self.render.occ_res > 0
-                    or self.render.compat_sampling):
-                raise ValueError(
-                    "--ipe supports stratified + hierarchical interval "
-                    "sampling only (no proposal/occupancy/compat "
+                    "--ipe supports stratified, occupancy-guided and "
+                    "hierarchical interval sampling (no proposal/compat "
                     "samplers: they emit point samples, not intervals)"
                 )
 

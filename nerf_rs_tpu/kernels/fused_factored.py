@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
 from ..models import factored as fac
+from .fused_render import default_is_tpu
 
 
 def _knot_consts_padded(cfg: ModelConfig) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -190,7 +191,7 @@ def fused_factored_encode(
     column order) with the hat-weight matrices VMEM-resident. No
     point-cotangent (see module docstring)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not default_is_tpu()
     lead = points.shape[:-1]
     p = points.reshape(-1, 3)
     enc = _make_encode(cfg, block, bool(interpret),

@@ -54,6 +54,9 @@ def _ray_kernel(
     ipe: bool,  # mip-NeRF IPE: ts are interval MIDS, deltas exact
     # lengths, and a per-ray radii ref follows deltas (fused_train.py's
     # scheme) — Gaussian moments + damped encoding in-register
+    contract: bool,  # mip-NeRF 360 scene contraction applied to the
+    # expanded points / Gaussians before encoding (fused_render.
+    # _contract_points/_contract_gaussian — the unbounded-scene mode)
     o_ref,
     d_ref,
     vd_ref,
@@ -84,13 +87,21 @@ def _ray_kernel(
     ts = ts_ref[:]
     deltas = deltas_ref[:]
     if ipe:
-        from .fused_render import _ipe_encode, _ipe_expand
+        from .fused_render import (
+            _contract_gaussian, _ipe_encode, _ipe_expand,
+        )
 
         mean, var = _ipe_expand(o, d, ts, deltas, radii_ref[:], rows)
+        if contract:
+            mean, var = _contract_gaussian(mean, var)
         x = _ipe_encode(mean, var, pos_pad).astype(bf)  # (rows, P)
     else:
         pts = (o[:, None, :] + ts[:, :, None] * d[:, None, :]
                ).reshape(rows, 3)
+        if contract:
+            from .fused_render import _contract_points
+
+            pts = _contract_points(pts)
         x = _pe_encode(pts, pos_pad).astype(bf)  # (rows, P)
     dv_ray = _pe_encode(vd_ref[:], dir_pad)  # (R, D) f32
     dv = jnp.broadcast_to(
@@ -205,6 +216,7 @@ def fused_ray_render(
     kernel = functools.partial(
         _ray_kernel, depth_l, cfg.skip_layer, cfg.feature_width,
         pos_pad, dir_pad, S, R, cfg.sigma_activation, ipe,
+        bool(cfg.contract),
     )
     F = cfg.feature_width
     V = packed.view_w.shape[1]

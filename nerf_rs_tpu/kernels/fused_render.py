@@ -49,6 +49,18 @@ from ..config import ModelConfig
 from ..models.mlp import Params
 
 
+def default_is_tpu() -> bool:
+    """True iff the default backend is a working TPU. A default backend
+    that RAISES (libtpu mismatch — the hermetic multichip dryrun
+    simulates this) counts as not-TPU: Pallas then runs in interpret
+    mode on whatever mesh the program actually targets instead of
+    crashing at the gate."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -135,6 +147,41 @@ def _ipe_expand(o, d, mids, deltas, radii, rows):
            + r_var[:, :, None] * (1.0 - d2 / dn2)[:, None, :]
            ).reshape(rows, 3)
     return pts, var
+
+
+def _contract_points(pts: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """In-register mip-NeRF 360 scene contraction (ops/contract.contract,
+    same association order) for (ROWS, 3) points: pure elementwise VPU
+    work + one minor-dim reduce (the proven dn2 pattern of _ipe_expand).
+    Positions carry no gradient (sampling is stop-grad by design), so
+    the train kernel needs no backward for this transform."""
+    r2 = jnp.sum(pts * pts, axis=-1, keepdims=True)
+    r = jnp.sqrt(jnp.maximum(r2, eps * eps))
+    safe = jnp.maximum(r, 1.0)
+    return jnp.where(r <= 1.0, pts, (2.0 - 1.0 / safe) * pts / safe)
+
+
+def _contract_gaussian(
+    mean: jnp.ndarray, var: jnp.ndarray, eps: float = 1e-8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-register contraction of diagonal Gaussians (ROWS, 3) — the
+    closed-form linearization of ops/contract.contract_gaussian, term
+    for term, so the IPE kernels reproduce the XLA path exactly."""
+    r2 = jnp.sum(mean * mean, axis=-1, keepdims=True)
+    r = jnp.sqrt(jnp.maximum(r2, eps * eps))
+    safe = jnp.maximum(r, 1.0)
+    inside = r <= 1.0
+    g = 2.0 / safe - 1.0 / (safe * safe)
+    gp_over_r = (-2.0 / safe**2 + 2.0 / safe**3) / safe
+    x2 = mean * mean
+    quad = jnp.sum(x2 * var, axis=-1, keepdims=True)
+    var_out = (
+        g * g * var
+        + 2.0 * g * gp_over_r * x2 * var
+        + gp_over_r * gp_over_r * x2 * quad
+    )
+    mean_out = jnp.where(inside, mean, g * mean)
+    return mean_out, jnp.where(inside, var, jnp.maximum(var_out, 0.0))
 
 
 class PackedWeights(NamedTuple):

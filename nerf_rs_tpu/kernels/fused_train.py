@@ -102,8 +102,17 @@ def _train_kernel(
     loss_scale: float,  # d(loss)/d(sum of squared residuals) = 1/(3N)
     halves: int,  # sub-blocks interleaved for MXU/VPU overlap (1 or 2)
     dist_scale: float,  # distortion-loss weight / N rays (0 = off)
-    dist_near: float,  # [near, far] normalizes sample positions for the
-    dist_inv_span: float,  # distortion loss (mip-NeRF 360 s-coords)
+    dist_near: float,  # linear: [near, far] normalizes sample positions
+    dist_inv_span: float,  # for the distortion loss (mip-NeRF 360
+    # s-coords). disparity: dist_near holds g0 = 1/near and
+    # dist_inv_span = 1/(g0 - g1) — s = (g0 - 1/t) * inv_span.
+    dist_disparity: bool,  # normalize s in disparity (the unbounded
+    # sampling space); deltas convert exactly: s(t+dt) - s(t) =
+    # dt / (t (t+dt)) * inv_span, matching ops/render.distortion_loss's
+    # shifted-diff convention given deltas_from_ts deltas
+    contract: bool,  # mip-NeRF 360 scene contraction before encoding
+    # (fused_render._contract_points/_contract_gaussian; forward-only —
+    # sample positions are stop-grad, so no backward term exists)
     ipe: bool,  # mip-NeRF integrated encoding: ts are interval MIDS,
     # deltas exact interval lengths, and a per-ray radii ref follows
     # gold — conical-Gaussian moments + damped PE computed in-register
@@ -170,16 +179,24 @@ def _train_kernel(
         # closed forms) in (Rh, S), then the same free leading-dim
         # expansion the point path uses; the per-ray (Rh, 1) radius
         # broadcasts over lanes exactly like acc_r below
-        from .fused_render import _ipe_encode, _ipe_expand
+        from .fused_render import (
+            _contract_gaussian, _ipe_encode, _ipe_expand,
+        )
 
         mv = each(lambda p: _ipe_expand(
             o[p], d[p], ts[p], deltas[p], sl(radii_ref, p), rows))
+        if contract:
+            mv = each(lambda p: _contract_gaussian(mv[p][0], mv[p][1]))
         x = each(lambda p: _ipe_encode(
             mv[p][0], mv[p][1], pos_pad).astype(bf))
     else:
         pts = each(lambda p: (
             o[p][:, None, :] + ts[p][:, :, None] * d[p][:, None, :]
         ).reshape(rows, 3))
+        if contract:
+            from .fused_render import _contract_points
+
+            pts = each(lambda p: _contract_points(pts[p]))
         x = each(lambda p: _pe_encode(pts[p], pos_pad).astype(bf))  # (rows, P)
     # per-sample copies of the view-dir encoding are needed only by the
     # BACKWARD dview_dir_w contraction; the forward view-dir matmul is
@@ -263,8 +280,13 @@ def _train_kernel(
     # backward's u-cotangent. Compile-time gated — zero cost when off.
     if dist_scale != 0.0:
         incl = (rs_i <= cs_i).astype(f32)
-        m = each(lambda p: (ts[p] - dist_near) * dist_inv_span)
-        dn = each(lambda p: deltas[p] * dist_inv_span)
+        if dist_disparity:
+            m = each(lambda p: (dist_near - 1.0 / ts[p]) * dist_inv_span)
+            dn = each(lambda p: deltas[p] / (ts[p] * (ts[p] + deltas[p]))
+                      * dist_inv_span)
+        else:
+            m = each(lambda p: (ts[p] - dist_near) * dist_inv_span)
+            dn = each(lambda p: deltas[p] * dist_inv_span)
         cw = each(lambda p: jax.lax.dot_general(
             w[p], incl, (((1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=f32))
@@ -410,7 +432,8 @@ def _train_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_samples", "white_bg", "rays_per_block",
-                     "interpret", "halves", "dist_weight", "near", "far"),
+                     "interpret", "halves", "dist_weight", "near", "far",
+                     "dist_space"),
 )
 def fused_train_grads(
     packed: PackedWeights,
@@ -430,6 +453,7 @@ def fused_train_grads(
     dist_weight: float = 0.0,
     near: float = 0.0,
     far: float = 1.0,
+    dist_space: str = "linear",
     radii: jnp.ndarray = None,
 ) -> TrainGrads:
     """One fused forward+backward over N rays; N % rays_per_block == 0.
@@ -516,11 +540,18 @@ def fused_train_grads(
     if R % halves != 0:
         halves = 1
     loss_scale = 1.0 / (3.0 * n)
+    if dist_space == "disparity" and dist_weight != 0.0:
+        # s = (g0 - 1/t) / (g0 - g1): pass g0 in the near slot and the
+        # disparity-span reciprocal in the inv_span slot (kernel docs)
+        g0, g1 = 1.0 / near, 1.0 / far
+        dist_a, dist_b, dist_disp = g0, 1.0 / (g0 - g1), True
+    else:
+        dist_a, dist_b, dist_disp = near, 1.0 / (far - near), False
     kernel = functools.partial(
         _train_kernel, depth, cfg.skip_layer, F, pos_pad, dir_pad, S, R,
         white_bg, loss_scale, halves,
-        dist_weight / n, near, 1.0 / (far - near),
-        ipe, cfg.sigma_activation,
+        dist_weight / n, dist_a, dist_b, dist_disp,
+        bool(cfg.contract), ipe, cfg.sigma_activation,
     )
     flops_row = 2 * 3 * (
         pos_pad * W + (depth - 1) * W * W + pos_pad * W + W * (F + 128)

@@ -130,6 +130,43 @@ def occupancy_ts(
     avoids this by also SKIPPING those bins at render; with a
     redistribution scheme the floor is the consistency mechanism.
     """
+    bins, w = _occ_pdf(origins, dirs, grid, camera, render_cfg)
+    # sample_pdf's stratified-CDF draws come back sorted by construction
+    return sampling.sample_pdf(key, bins, w, num_samples, randomized)
+
+
+def occupancy_edges(
+    key: jax.Array,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    grid: jnp.ndarray,
+    num_samples: int,
+    camera: CameraConfig,
+    render_cfg: RenderConfig,
+    randomized: bool = True,
+) -> jnp.ndarray:
+    """Occupancy-guided INTERVAL edges: (N, num_samples + 1), sorted.
+
+    The interval form of occupancy_ts for the IPE family (mip-NeRF
+    conical frustums consume edges, not point ts): num_samples + 1
+    stratified inverse-CDF draws from the same occupancy-blended PDF
+    become the edges — exactly the scheme the hierarchical IPE fine
+    pass already uses (the resampled fine edges ARE sample_pdf draws,
+    ops/render.py _render_rays_ipe). Edges cluster inside occupied
+    bins, so frustums there are narrow (sharp encodings) while empty
+    stretches are spanned by wide frustums whose IPE damping kills the
+    high-frequency bands — the interval-native form of empty-space
+    skipping. With a fresh (all-empty) grid this degrades to uniform
+    stratified edges, the right warmup."""
+    bins, w = _occ_pdf(origins, dirs, grid, camera, render_cfg)
+    return sampling.sample_pdf(key, bins, w, num_samples + 1, randomized)
+
+
+def _occ_pdf(origins, dirs, grid, camera: CameraConfig,
+             render_cfg: RenderConfig):
+    """Shared per-ray piecewise-constant PDF over [near, far]:
+    (bins (N, B+1), weights (N, B)) — occupancy-thresholded bin mass
+    blended with the occ_uniform_frac floor (see occupancy_ts)."""
     n = origins.shape[0]
     B = render_cfg.occ_bins
     bins_1d = jnp.linspace(camera.near, camera.far, B + 1)
@@ -141,5 +178,4 @@ def occupancy_ts(
     occ_mass = hard / jnp.maximum(jnp.sum(hard, axis=-1, keepdims=True), 1.0)
     w = (1.0 - a) * occ_mass + a / B
     bins = jnp.broadcast_to(bins_1d, (n, B + 1))
-    # sample_pdf's stratified-CDF draws come back sorted by construction
-    return sampling.sample_pdf(key, bins, w, num_samples, randomized)
+    return bins, w

@@ -154,8 +154,10 @@ def compat_predict(
 def train_fused_supported(model_cfg: ModelConfig) -> bool:
     """Architectures the whole-ray TRAIN kernel covers — the paper
     family including IPE (the kernel builds conical-Gaussian moments
-    and the damped integrated encoding in-register) and both density
-    activations."""
+    and the damped integrated encoding in-register), mip-NeRF 360
+    scene contraction (in-register elementwise transform before the
+    encoder — kernels/fused_render._contract_points/_contract_gaussian)
+    and both density activations."""
     return (
         not model_cfg.compat
         and model_cfg.arch == "nerf"
@@ -163,10 +165,6 @@ def train_fused_supported(model_cfg: ModelConfig) -> bool:
         and model_cfg.rgb_activation == "sigmoid"
         and model_cfg.include_input_in_enc
         and model_cfg.sigma_activation in ("relu", "softplus")
-        # the kernels expand and encode raw metric points in-register;
-        # contracted configs fall back to XLA (disparity SAMPLING still
-        # composes with the kernels — ts are drawn upstream)
-        and not model_cfg.contract
     )
 
 
@@ -193,15 +191,19 @@ def _render_rays_ipe(
     use_fused: bool = False,
     packed=None,
     fine_packed=None,
+    grid=None,
 ):
     """mip-NeRF rendering (arXiv 2103.13415): stratified INTERVAL edges
     along a cone per ray, each interval a conical-frustum Gaussian
     encoded with IPE (models/encoding.integrated_posenc), composited
     over exact interval lengths. Hierarchical resampling draws new
-    edges from the coarse weight histogram and composites the fine
-    intervals standalone (mip-NeRF's own two-level scheme; one MLP
-    unless a separate fine net is configured). XLA path only —
-    Config.__post_init__ validates the sampler constraints.
+    edges from the coarse weight histogram; fine_mode picks mip-NeRF's
+    standalone compositing of the resampled intervals or the NeRF-style
+    union (fine pass over the MERGED coarse+resampled edge set — the
+    composition the occ/union quality records use). With an occupancy
+    ``grid``, the coarse edges are occupancy-guided draws
+    (ops/occupancy.occupancy_edges) instead of uniform-stratified.
+    (one MLP unless a separate fine net is configured.)
     """
     from . import sampling
 
@@ -224,7 +226,7 @@ def _render_rays_ipe(
 
     def fused_ipe_pass(pass_params, edges, pass_packed) -> RenderOut:
         from ..kernels.fused_ray import fused_ray_render
-        from ..kernels.fused_render import pack_weights
+        from ..kernels.fused_render import default_is_tpu, pack_weights
 
         pk = pass_packed if pass_packed is not None else pack_weights(
             pass_params, model_cfg)
@@ -243,7 +245,7 @@ def _render_rays_ipe(
                 viewdirs, 1.0)
             ts_p, dl_p = pad(t_mids, 1.0), pad(deltas, 1e-3)
             r_p = pad(radii_flat, 1e-3)
-        interpret = jax.default_backend() != "tpu"
+        interpret = not default_is_tpu()
         rgb, acc, depth_v, w, sig = fused_ray_render(
             pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S_p,
             rays_per_block=R, interpret=interpret, radii=r_p,
@@ -270,10 +272,17 @@ def _render_rays_ipe(
             white_background=render_cfg.white_background, ts=t_mids,
         )
 
-    edges = sampling.stratified_ts(
-        k_coarse, n, S + 1, camera.near, camera.far, rand,
-        space=render_cfg.sampling_space,
-    )
+    if grid is not None and not render_cfg.compat_sampling:
+        from . import occupancy
+
+        edges = occupancy.occupancy_edges(
+            k_coarse, flat_o, flat_d, grid, S, camera, render_cfg, rand,
+        )
+    else:
+        edges = sampling.stratified_ts(
+            k_coarse, n, S + 1, camera.near, camera.far, rand,
+            space=render_cfg.sampling_space,
+        )
     coarse = ipe_pass(params, edges, jax.random.fold_in(k_coarse, 1),
                       pass_packed=packed)
 
@@ -285,6 +294,11 @@ def _render_rays_ipe(
             k_fine, edges, coarse.weights,
             render_cfg.num_fine_samples + 1, rand,
         )
+        if render_cfg.fine_mode != "standalone":
+            # union composition: the fine pass evaluates the MERGED
+            # coarse+resampled edge set (S + S_f + 1 intervals) — the
+            # interval analog of NeRF §5.2's combined sample set
+            fine_edges = sampling.merge_ts(edges, fine_edges)
         fine = ipe_pass(
             fine_params if fine_params is not None else params,
             fine_edges, jax.random.fold_in(k_fine, 1),
@@ -352,6 +366,7 @@ def render_rays(
             rand, dtype, n_rays_shape, fine_params=fine_params,
             radii=None if radii is None else radii.reshape(-1),
             use_fused=use_fused, packed=packed, fine_packed=fine_packed,
+            grid=grid,
         )
 
     if prop_params is not None and not render_cfg.compat_sampling:
@@ -387,7 +402,7 @@ def render_rays(
         MLP, and compositing all in-kernel; per-sample tensors never
         touch HBM."""
         from ..kernels.fused_ray import fused_ray_render
-        from ..kernels.fused_render import pack_weights
+        from ..kernels.fused_render import default_is_tpu, pack_weights
 
         pk = pass_packed if pass_packed is not None else pack_weights(
             pass_params, model_cfg
@@ -406,7 +421,7 @@ def render_rays(
             )
             o_p, d_p, vd_p = pad(flat_o, 0.0), pad(flat_d, 1.0), pad(viewdirs, 1.0)
             ts_p, dl_p = pad(ts_pass, 1.0), pad(deltas, 0.0)
-        interpret = jax.default_backend() != "tpu"
+        interpret = not default_is_tpu()
         rgb, acc, depth_v, w, sig = fused_ray_render(
             pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S,
             rays_per_block=R, interpret=interpret,

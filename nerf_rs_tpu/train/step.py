@@ -135,7 +135,9 @@ def _kernel_interpret(cfg: Config) -> bool:
     program targets a CPU mesh (hermetic multichip dryrun)."""
     if cfg.train.kernel_interpret is not None:
         return cfg.train.kernel_interpret
-    return jax.default_backend() != "tpu"  # Mosaic only targets TPU
+    from ..kernels.fused_render import default_is_tpu
+
+    return not default_is_tpu()  # Mosaic only targets TPU
 
 
 def _prop_anneal(cfg: Config, step):
@@ -392,17 +394,11 @@ def whole_ray_supported(cfg: Config) -> bool:
         and cfg.render.raw_noise_std == 0.0
         and not cfg.render.compat_density_color
         and cfg.train.accumulation_steps <= 1
-        # the IPE kernel path covers stratified + standalone-fine
-        # interval sampling (proposal/occ emit points; config already
-        # rejects those combinations for ipe)
-        and not (cfg.model.ipe and cfg.render.num_fine_samples > 0
-                 and cfg.render.fine_mode != "standalone")
-        # the in-kernel distortion loss normalizes s linearly over
-        # [near, far]; disparity-space configs need the disparity-
-        # normalized loss (ops/render.distortion_loss) -> XLA fallback.
-        # (contract configs are already excluded by train_fused_supported)
-        and not (cfg.render.sampling_space == "disparity"
-                 and cfg.train.distortion_weight > 0.0)
+        # the IPE kernel path covers stratified AND occ-guided interval
+        # sampling plus standalone/union fine (merged edges); the
+        # in-kernel distortion loss covers BOTH s-normalizations
+        # (linear over [near, far] and disparity — the unbounded
+        # recipe's space), so disparity+distortion rides the kernel too
     )
 
 
@@ -444,6 +440,7 @@ def _whole_ray_pass(
         dist_weight=cfg.train.distortion_weight if dist else 0.0,
         near=cfg.camera.near,
         far=cfg.camera.far,
+        dist_space=cfg.render.sampling_space,
         radii=radii,
     )
     return unpack_grads(tg, params, cfg.model), tg
@@ -479,14 +476,25 @@ def whole_ray_grads(
     ipe = cfg.model.ipe
     edges = deltas = radii = None
     if ipe:
-        # interval sampling: S+1 stratified EDGES, kernel consumes
-        # midpoints + exact lengths + per-ray cone radii — the same key
-        # flow as the XLA path (ops/render._render_rays_ipe)
-        edges = sampling.stratified_ts(
-            k_coarse, n, cfg.render.num_samples + 1, cfg.camera.near,
-            cfg.camera.far, cfg.render.randomized,
-            space=cfg.render.sampling_space,
-        )
+        # interval sampling: S+1 EDGES, kernel consumes midpoints +
+        # exact lengths + per-ray cone radii — the same key flow as the
+        # XLA path (ops/render._render_rays_ipe). With an occupancy
+        # grid the edges are occ-guided draws (occupancy_edges): IPE
+        # composes with the record machinery's empty-space skipping.
+        if grid is not None and not cfg.render.compat_sampling:
+            from ..ops import occupancy
+
+            edges = occupancy.occupancy_edges(
+                k_coarse, batch.origins, batch.dirs, grid,
+                cfg.render.num_samples, cfg.camera, cfg.render,
+                cfg.render.randomized,
+            )
+        else:
+            edges = sampling.stratified_ts(
+                k_coarse, n, cfg.render.num_samples + 1, cfg.camera.near,
+                cfg.camera.far, cfg.render.randomized,
+                space=cfg.render.sampling_space,
+            )
         ts = 0.5 * (edges[..., :-1] + edges[..., 1:])
         deltas = edges[..., 1:] - edges[..., :-1]
         radii = (batch.radii if batch.radii is not None
@@ -537,12 +545,16 @@ def whole_ray_grads(
     fine_deltas = None
     if ipe:
         # resample S_f + 1 new EDGES from the coarse interval histogram
-        # (the edges ARE the bins), composited standalone — the XLA IPE
-        # path's scheme exactly
+        # (the edges ARE the bins); standalone composits just the
+        # resampled intervals (mip-NeRF's scheme), union evaluates the
+        # MERGED coarse+resampled edge set (the interval analog of
+        # NeRF §5.2 — the composition the quality records ride)
         fine_edges = sampling.sample_pdf(
             k_fine, edges, tg_c.weights, cfg.render.num_fine_samples + 1,
             cfg.render.randomized,
         )
+        if cfg.render.fine_mode != "standalone":
+            fine_edges = sampling.merge_ts(edges, fine_edges)
         all_ts = 0.5 * (fine_edges[..., :-1] + fine_edges[..., 1:])
         fine_deltas = fine_edges[..., 1:] - fine_edges[..., :-1]
     else:

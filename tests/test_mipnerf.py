@@ -110,24 +110,34 @@ def test_render_rays_ipe_shapes_and_hierarchy():
 
 
 def test_ipe_config_validation():
-    with pytest.raises(ValueError, match="standalone"):
-        _cfg().replace(render=RenderConfig(
-            num_samples=8, num_fine_samples=8, fine_mode="union"))
+    # round 4: union fine and occupancy-guided coarse edges are VALID
+    # ipe compositions (interval-aware occupancy — occupancy_edges);
+    # point-sample-only mechanisms (proposal, compat) stay rejected
+    _cfg().replace(render=RenderConfig(
+        num_samples=8, num_fine_samples=8, fine_mode="union"))
+    Config(model=MODEL, render=RenderConfig(num_samples=8, occ_res=8))
     with pytest.raises(ValueError, match="arch"):
         Config(model=ModelConfig(ipe=True, arch="factored"))
     with pytest.raises(ValueError, match="interval"):
-        Config(model=MODEL, render=RenderConfig(num_samples=8, occ_res=8))
+        from nerf_rs_tpu.config import ProposalConfig
+
+        Config(model=MODEL, proposal=ProposalConfig(enabled=True))
 
 
 def test_ipe_fused_path_gates():
     """IPE runs BOTH fused kernels (in-register interval moments +
-    damped encoding); union fine mode falls back to XLA for training."""
+    damped encoding), standalone AND union fine (merged edges)."""
     from nerf_rs_tpu.train.step import whole_ray_supported
 
     assert render.fused_supported(MODEL)
     assert render.train_fused_supported(MODEL)
     cfg = _cfg(fine=12).replace(use_whole_ray_train=True)
     assert whole_ray_supported(cfg)
+    import dataclasses
+
+    cfg_u = cfg.replace(render=dataclasses.replace(
+        cfg.render, fine_mode="union"))
+    assert whole_ray_supported(cfg_u)
 
 
 def test_ipe_fused_render_matches_xla():
