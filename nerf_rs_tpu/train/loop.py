@@ -30,7 +30,7 @@ from ..ops import metrics, render as render_ops
 from ..parallel import dist_init, dp, mesh as mesh_mod
 from ..utils.profiling import Throughput
 from ..utils.tb import NullLogger, TBLogger
-from ..utils.term import sparkline
+from ..utils.term import image_preview, sparkline
 from . import checkpoint as ckpt
 from . import step as step_mod
 from .step import TrainState, init_state
@@ -248,6 +248,8 @@ def train_multiscene(
         if primary:
             joined = ", ".join(f"{p:.2f}" for p in psnrs)
             print(f"iter={it}, per-scene eval psnr=[{joined}]")
+            if cfg.live_preview:
+                print(image_preview(np.asarray(rgb)))
         return psnrs
 
     start = int(jax.device_get(state.step).reshape(-1)[0])
@@ -521,6 +523,10 @@ def train(
                 tb.image("depth", np.asarray(depth / jnp.maximum(depth.max(), 1e-6)), it)
             if primary:
                 print(f"iter={it}, eval psnr={psnr:.2f}")
+                if cfg.live_preview:
+                    # "watch training live", headless: the eval frame as
+                    # ANSI half-blocks (reference: display.rs window)
+                    print(image_preview(np.asarray(rgb)))
 
         # --- checkpoint hook (main.rs:81-83); primary-only in
         # multi-host runs (state is replicated, one writer suffices) ---
