@@ -15,7 +15,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-from .images import load_image
+from .images import box_downsample, load_image
 
 
 class BlenderScene(NamedTuple):
@@ -50,7 +50,7 @@ def load_blender(
             fp = fp + ".png"
         img = load_image(os.path.join(scene_dir, fp))
         if downscale > 1:
-            img = img[::downscale, ::downscale]
+            img = box_downsample(img, downscale)  # area-avg, no aliasing
         imgs.append(img)
         poses.append(np.asarray(fr["transform_matrix"], dtype=np.float32))
     images = np.stack(imgs, axis=0)

@@ -46,6 +46,23 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def box_downsample(img: np.ndarray, factor: int) -> np.ndarray:
+    """Area-averaged (box-filter) decimation by an integer factor —
+    each output pixel is the mean of its factor x factor source block
+    (trailing rows/cols beyond a whole block are cropped). Strided
+    subsampling (img[::f, ::f]) aliases high-frequency capture content;
+    the pixel-footprint argument is mip-NeRF's own (arXiv 2103.13415
+    §1) and this matches eval's box-downsampled gold pyramid
+    (data/device_dataset.build_pyramid)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    a = img[: h2 * factor, : w2 * factor].astype(np.float32)
+    a = a.reshape(h2, factor, w2, factor, -1).mean(axis=(1, 3))
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.rint(a), 0, 255).astype(img.dtype)
+    return a.astype(img.dtype)
+
+
 def load_images(paths: List[str]) -> np.ndarray:
     """All views as one (N, H, W, 4) uint8 stack
     (load_multiple_images_as_arrays, src/image_loading.rs:56-65)."""

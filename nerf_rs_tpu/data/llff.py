@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-from .images import load_image
+from .images import box_downsample, load_image
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".JPG", ".PNG")
 
@@ -165,12 +165,20 @@ def load_llff(
     for i in idx:
         img = load_image(os.path.join(img_dir, names[i]))
         if decimate > 1:
-            img = img[::decimate, ::decimate]
+            img = box_downsample(img, decimate)
         imgs.append(img)
     images = np.stack(imgs, axis=0)
     h, w = images.shape[1:3]
-    # hwf is per-view but LLFF captures share intrinsics; scale the
-    # focal from the recorded resolution to the loaded one
+    # hwf is per-view; LLFF captures share intrinsics by construction
+    # (one camera, COLMAP SIMPLE_RADIAL) — verify instead of silently
+    # trusting row 0, then scale the focal from the recorded resolution
+    # to the loaded one
+    if not (np.allclose(hwf, hwf[0:1], rtol=1e-3)):
+        raise ValueError(
+            "per-view intrinsics differ across poses_bounds rows "
+            f"(hwf range {hwf.min(0)}..{hwf.max(0)}); this loader "
+            "assumes a shared-intrinsics capture"
+        )
     focal = float(hwf[0, 2]) * (w / float(hwf[0, 1]))
     return LLFFScene(
         images=images,
