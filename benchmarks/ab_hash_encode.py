@@ -111,6 +111,68 @@ def encode_vB(table_t, points, cfg):
     return jnp.concatenate(outs, axis=-1)  # (N, F*L)
 
 
+def encode_vP(table, points, cfg, block=2048, depth=8, unroll=4):
+    """v0's exact encoding with the value fetch replaced by the Pallas
+    DMA row gather (kernels/gather_rows.py): one (1, 128) row DMA per
+    (point, level, corner), features selected in-register. The fairest
+    hand-written gather the hardware admits (see module docstring) —
+    measured ~4x slower than v0's XLA element gather, the rigorous
+    negative VERDICT r3 item 4 asked for."""
+    from nerf_rs_tpu.kernels import gather_rows as gr
+
+    L, F = cfg.hash_levels, cfg.hash_features
+    assert F == 2, "pair gather assumes F=2"
+    n = points.reshape(-1, 3).shape[0]
+    idx, w = indices_and_weights(points, cfg)
+    base = (idx.reshape(-1) * F).astype(jnp.int32)  # even: (N*L*8,)
+    pairs = gr.gather_pairs(table.reshape(-1), base, block=block,
+                            depth=depth, unroll=unroll)
+    vals = pairs.reshape(n, L * 8 * F)
+    wts = jnp.broadcast_to(w[..., None], (n, L, 8, F)).reshape(n, L * 8 * F)
+    prod = vals * wts
+    M = np.zeros((L * 8 * F, L * F), np.float32)
+    for l in range(L):
+        for c in range(8):
+            for f in range(F):
+                M[(l * 8 + c) * F + f, l * F + f] = 1.0
+    return prod @ jnp.asarray(M)
+
+
+def bench_rows(args):
+    """Micro: raw (1, 128) row gather, Pallas DMA ring vs XLA take —
+    the granularity study behind the PERFORMANCE.md round-4 numbers."""
+    import functools
+    from nerf_rs_tpu.kernels import gather_rows as gr
+
+    R, N = 1 << 17, args.n
+    table = jax.random.normal(jax.random.PRNGKey(0), (R, 128),
+                              jnp.float32)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, R,
+                             jnp.int32)
+    # one process, interleaved (CLAUDE.md chip-variance rule)
+    take = jax.jit(lambda i: jnp.take(table, i, axis=0))
+    variants = [("xla_take_rows", take)]
+    for d, u in ((8, 1), (8, 8), (16, 4), (32, 8)):
+        variants.append((
+            f"pallas_d{d}_u{u}",
+            jax.jit(functools.partial(gr.gather_rows, table,
+                                      block=2048, depth=d, unroll=u)),
+        ))
+    variants.append(("xla_take_rows_again", take))
+    for name, f in variants:
+        r = f(idx)
+        jax.block_until_ready(r)
+        wins = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = f(idx)
+            jax.block_until_ready(r)
+            wins.append((time.perf_counter() - t0) / 5 * 1e3)
+        best = min(wins)
+        print(f"{name:22s} {best:8.2f} ms  {best*1e6/N:7.1f} ns/row")
+
+
 def bench(name, fn, table, pts, iters=10):
     fwd = jax.jit(lambda t, p: fn(t, p).sum())
     grd = jax.jit(jax.grad(lambda t, p: fn(t, p).sum()))
@@ -137,7 +199,12 @@ def bench(name, fn, table, pts, iters=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--pallas", action="store_true",
+                    help="add the Pallas DMA gather column (vP) and "
+                    "the raw row-gather micro sweep")
     args = ap.parse_args()
+    if args.pallas:
+        bench_rows(args)
     cfg = ModelConfig(arch="hashgrid")
     key = jax.random.PRNGKey(0)
     L, F = cfg.hash_levels, cfg.hash_features
@@ -162,6 +229,24 @@ def main():
     bench("vA flat-scalar", lambda t, p: encode_vA(t, p, cfg), table, pts)
     tt = table.T.copy()
     bench("vB transposed", lambda t, p: encode_vB(t, p, cfg), tt, pts)
+    if args.pallas:
+        vp = encode_vP(table, pts[:1024], cfg, block=1024)
+        err_p = float(jnp.abs(ref - vp).max())
+        print(f"parity vP {err_p:.2e}")
+        # fwd only: gather_pairs has no custom VJP (the probe is the
+        # forward wall; the backward scatter shares it)
+        fwd = jax.jit(lambda t, p: encode_vP(t, p, cfg).sum())
+        r = fwd(table, pts)
+        jax.block_until_ready(r)
+        wins = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = fwd(table, pts)
+            jax.block_until_ready(r)
+            wins.append((time.perf_counter() - t0) / 5 * 1e3)
+        print(f"vP pallas-dma fwd: best {min(wins):.2f} ms "
+              f"({[round(x, 2) for x in wins]})")
 
 
 if __name__ == "__main__":
