@@ -374,7 +374,24 @@ def train(
                      cfg.render.num_fine_samples, nchips)
     losses = []
     start = int(state.step)
-    t_loss = None
+    # per-iter losses stay ON DEVICE between chart redraws: one host
+    # sync per CHART_STEPS iterations instead of per step, so training
+    # throughput never couples to device->host (tunnel) latency — a
+    # per-step float(loss) was measured at ~400 ms/step during a
+    # service brownout while the step itself was ~15 ms
+    pending = []  # [(iter, device scalar)]
+
+    def flush_losses():
+        if not pending:
+            return
+        vals = jax.device_get([v for _, v in pending])
+        for (i, _), v in zip(pending, vals):
+            v = float(np.asarray(v))
+            losses.append(v)
+            tb.scalars({"loss": v}, i)
+        pending.clear()
+
+    CHART_STEPS = 50
 
     err_frac = cfg.train.error_resample_frac
     err_store = None
@@ -472,18 +489,19 @@ def train(
                 grid=jax.device_put(g, mesh_mod.replicated_sharding(mesh))
             )
 
-        # --- per-iter terminal + TB loss (reference main.rs:73-74) ---
-        if t_loss is not None:
-            loss = float(t_loss)
-            losses.append(loss)
-            tb.scalars({"loss": loss}, it - 1)
-        t_loss = aux["loss"]  # delay host sync one step to keep device busy
+        # --- per-iter terminal + TB loss (reference main.rs:73-74);
+        # values buffered on device, synced per chart redraw ---
+        pending.append((it, aux["loss"]))
 
-        if primary and it % 50 == 0 and losses:
-            print(f"iter={it}, loss={losses[-1]:.6f}  {sparkline(losses[-200:])}")
+        if it % CHART_STEPS == 0 and it > start:
+            flush_losses()
+            if primary:
+                print(f"iter={it}, loss={losses[-1]:.6f}  "
+                      f"{sparkline(losses[-200:])}")
 
         # --- logging hook (mod semantics of main.rs:63) ---
         if it % cfg.train.logging_steps == 0 and it > 0:
+            flush_losses()
             stats = thr.stats()
             tb.scalars(stats, it)
             tb.scalars({"psnr_train": float(aux["psnr"])}, it)
@@ -536,8 +554,7 @@ def train(
 
         thr.tick()
 
-    if t_loss is not None:
-        tb.scalars({"loss": float(t_loss)}, cfg.train.num_iter - 1)
+    flush_losses()
     if primary:
         ckpt.save(state, cfg.save_dir, err_store=err_store)
     if pipeline is not None:
