@@ -202,6 +202,9 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="add the Pallas DMA gather column (vP) and "
                     "the raw row-gather micro sweep")
+    ap.add_argument("--brick", action="store_true",
+                    help="add the brick-layout column (hash_brick=True:"
+                    " one 512 B row gather per (point, level))")
     args = ap.parse_args()
     if args.pallas:
         bench_rows(args)
@@ -247,6 +250,14 @@ def main():
             wins.append((time.perf_counter() - t0) / 5 * 1e3)
         print(f"vP pallas-dma fwd: best {min(wins):.2f} ms "
               f"({[round(x, 2) for x in wins]})")
+    if args.brick:
+        bcfg = ModelConfig(arch="hashgrid", hash_brick=True)
+        Tb = hashgrid.brick_table_entries(bcfg)
+        btable = jax.random.uniform(
+            key, (bcfg.hash_levels * Tb, 128), jnp.float32, -1e-4, 1e-4)
+        bench("vBrick row-layout",
+              lambda t, p: hashgrid.brick_encode(t, p, bcfg),
+              btable, pts)
 
 
 if __name__ == "__main__":

@@ -158,6 +158,11 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--hash_max_res", type=int, default=1024)
     common.add_argument("--hash_aabb", type=float, default=1.6,
                         help="hash grid AABB half-extent")
+    _bool_flag(common, "hash_brick", False,
+               "brick table layout: one aligned 512 B row gather per "
+               "(point, level) instead of 8 scattered corner pairs — "
+               "the TPU-native access granule (models/hashgrid."
+               "brick_encode); same parameter count")
     common.add_argument("--fac_levels", type=int, default=6,
                         help="factored-family resolution-ladder levels")
     common.add_argument("--fac_base_res", type=int, default=16)
@@ -443,6 +448,7 @@ def config_from_args(args) -> "Config":
             hash_base_res=args.hash_base_res,
             hash_max_res=args.hash_max_res,
             hash_aabb=args.hash_aabb,
+            hash_brick=args.hash_brick,
             fac_levels=args.fac_levels,
             fac_base_res=args.fac_base_res,
             fac_max_res=args.fac_max_res,

@@ -95,6 +95,15 @@ class ModelConfig:
     hash_aabb: float = 1.6  # grid covers [-a, a]^3
     hash_mlp_width: int = 64  # tiny-MLP width (both nets; shared by
     # the factored family's heads)
+    # Brick layout (TPU-native hash-table redesign, round 4): each
+    # table entry is a 4^3-vertex BRICK covering 3^3 grid cells (one
+    # 128-lane f32 row at F=2), so a (point, level) costs ONE aligned
+    # 512 B row gather instead of 8 scattered 8 B corner pairs — the
+    # row, not the element, is the TPU's random-access granule
+    # (kernels/gather_rows.py docstring). Same parameter count (brick
+    # entries are 64x bigger, 2^(hash_table_log2-6) of them per level).
+    # Measured A/B: benchmarks/ab_hash_encode.py --brick.
+    hash_brick: bool = False
     hash_geo_feats: int = 15  # sigma-net features feeding the color net
     # Factored (CP) family (models/factored.py):
     fac_levels: int = 6  # resolution-ladder levels

@@ -105,16 +105,27 @@ def apply_tiny_heads(
     return sigma_raw, rgb_raw
 
 
+def brick_table_entries(cfg: ModelConfig) -> int:
+    """Bricks per level: same PARAMETER budget as the flat layout —
+    each brick row holds 64 vertices x F floats, so T_b = T*F/128."""
+    T = 1 << cfg.hash_table_log2
+    F = cfg.hash_features
+    return max(1, (T * F) // 128)
+
+
 def init_hash_params(key: jax.Array, cfg: ModelConfig) -> Params:
     """Tables U(-1e-4, 1e-4) (paper §4); tiny MLPs He-init."""
     L, F = cfg.hash_levels, cfg.hash_features
     T = 1 << cfg.hash_table_log2
     kt, kh = jax.random.split(key)
-    params: Params = {
-        "table": jax.random.uniform(
-            kt, (L * T, F), jnp.float32, -1e-4, 1e-4
-        ),
-    }
+    if cfg.hash_brick:
+        Tb = brick_table_entries(cfg)
+        table = jax.random.uniform(
+            kt, (L * Tb, 128), jnp.float32, -1e-4, 1e-4)
+    else:
+        table = jax.random.uniform(
+            kt, (L * T, F), jnp.float32, -1e-4, 1e-4)
+    params: Params = {"table": table}
     params.update(init_tiny_heads(kh, L * F, cfg))
     return params
 
@@ -207,6 +218,91 @@ def hash_encode(
     return enc.reshape(*lead, L * F)
 
 
+def brick_encode(
+    table: jnp.ndarray, points: jnp.ndarray, cfg: ModelConfig
+) -> jnp.ndarray:
+    """Brick-layout multiresolution hash encoding: (..., 3) -> (..., L*F).
+
+    TPU-native redesign of the Instant-NGP table (round 4): the
+    hardware's minimum random-access granule is one 128-lane HBM row
+    (512 B f32 — see kernels/gather_rows.py), which the flat layout
+    wastes 64x by gathering 8 B corner pairs. Here each table entry is
+    a 4^3-vertex brick covering 3^3 cells of the level grid, stored as
+    one (128,) row (64 vertices x F=2). Any sample's 8 trilinear
+    corners lie inside ONE brick (vertex v in [0, r], brick v//3,
+    intra-brick offset v%3 + {0,1} <= 3), so a (point, level) costs a
+    single aligned row gather; corners are then selected in-register
+    by two weighted lane reductions. Vertices on multiple-of-3 planes
+    are duplicated across bricks ((4/3)^3 ~ 2.4x vertex duplication at
+    EQUAL parameter count — T_b = T*F/128 entries, so capacity shifts
+    from hash slots to duplicated storage; the hash already collides,
+    this trades collision rate for access granularity).
+
+    Same dense-when-it-fits rule as hash_encode, applied to the brick
+    grid. Backward: jnp.take's VJP scatter-adds whole rows — the same
+    row granularity the forward pays.
+    """
+    L, F = cfg.hash_levels, cfg.hash_features
+    if F != 2:
+        raise ValueError("brick layout packs 64 vertices x F into one "
+                         f"128-lane row: needs hash_features=2, got {F}")
+    Tb = brick_table_entries(cfg)
+    lead = points.shape[:-1]
+    p = points.reshape(-1, 3)
+    n = p.shape[0]
+    u = jnp.clip((p + cfg.hash_aabb) / (2.0 * cfg.hash_aabb), 0.0, 1.0)
+
+    res_l = level_resolutions(cfg)
+    res_f = jnp.asarray(np.asarray(res_l, np.float32))  # (L,)
+    res_i = jnp.asarray(np.asarray(res_l, np.int32))
+    scaled = u[:, None, :] * res_f[None, :, None]  # (N, L, 3)
+    v0 = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0,
+                  res_i[None, :, None] - 1)
+    fr = scaled - v0.astype(jnp.float32)  # in [0, 1] (1 at the far clip)
+    b = v0 // 3
+    o = v0 - 3 * b  # intra-brick vertex offset, {0, 1, 2}
+
+    nb_l = [(r - 1) // 3 + 1 for r in res_l]  # bricks per axis
+    dense_l = [nb ** 3 <= Tb for nb in nb_l]
+    nb = jnp.asarray(np.asarray(nb_l, np.int32))[None, :]  # (1, L)
+    dense = jnp.asarray(np.asarray(dense_l))[None, :]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]  # (N, L)
+    flat_dense = bx + nb * (by + nb * bz)
+    ux, uy, uz = (c.astype(jnp.uint32) for c in (bx, by, bz))
+    flat_hash = (
+        ux * jnp.uint32(_PRIMES[0])
+        ^ uy * jnp.uint32(_PRIMES[1])
+        ^ uz * jnp.uint32(_PRIMES[2])
+    ) & jnp.uint32(Tb - 1)
+    flat = jnp.where(dense, flat_dense, flat_hash.astype(jnp.int32))
+    rows_idx = flat + jnp.asarray(
+        np.arange(L, dtype=np.int32) * Tb)[None, :]
+    rows = jnp.take(table, rows_idx.reshape(-1), axis=0)  # (N*L, 128)
+
+    # two weighted lane reductions (one per feature): M_f = sum_c w_c *
+    # onehot(lane_c*F + f) is built elementwise and consumed by the
+    # same pass over `rows` — no (N, L, 8, ...) tiny-minor intermediates
+    # (CLAUDE.md lane-padding rule), everything stays (N*L, 128)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    ofs = [o[..., a].reshape(-1) for a in range(3)]  # each (N*L,)
+    frs = [fr[..., a].reshape(-1) for a in range(3)]
+    M = [jnp.zeros((n * L, 128), jnp.float32) for _ in range(F)]
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                lane = (((ofs[0] + dx) * 4 + (ofs[1] + dy)) * 4
+                        + (ofs[2] + dz)) * F  # (N*L,)
+                w = ((frs[0] if dx else 1.0 - frs[0])
+                     * (frs[1] if dy else 1.0 - frs[1])
+                     * (frs[2] if dz else 1.0 - frs[2]))  # (N*L,)
+                for f in range(F):
+                    M[f] = M[f] + jnp.where(
+                        iota == (lane + f)[:, None], w[:, None], 0.0)
+    enc_f = [jnp.sum(rows * M[f], axis=-1) for f in range(F)]
+    enc = jnp.stack(enc_f, axis=-1).reshape(n, L * F)
+    return enc.reshape(*lead, L * F)
+
+
 def apply_hashgrid(
     params: Params,
     points: jnp.ndarray,
@@ -218,5 +314,6 @@ def apply_hashgrid(
     returns (sigma_raw (...,), rgb_raw (..., 3)) BEFORE activations —
     the caller (mlp.apply_nerf dispatch) applies cfg.sigma_activation /
     rgb sigmoid so noise/compat semantics stay in one place."""
-    enc = hash_encode(params["table"], points, cfg)
+    encode = brick_encode if cfg.hash_brick else hash_encode
+    enc = encode(params["table"], points, cfg)
     return apply_tiny_heads(params, enc, viewdirs, cfg, dtype)

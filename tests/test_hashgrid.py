@@ -160,3 +160,98 @@ def test_ngp_preset_cli_end_to_end(tmp_path):
     assert any(c.startswith("checkpoint-") for c in os.listdir(save_dir))
     rc = main(["eval", *common, "--max_views", "1"])
     assert rc == 0
+
+
+# ---- brick layout (round 4: models/hashgrid.brick_encode) ------------------
+
+BRICK_CFG = ModelConfig(
+    arch="hashgrid", hash_levels=4, hash_table_log2=10, hash_base_res=4,
+    hash_max_res=32, hash_aabb=1.0, sigma_activation="softplus",
+    hash_brick=True,
+)
+
+
+def test_brick_param_budget_matches_flat():
+    """Same parameter count as the flat layout: T_b rows of 128 = T
+    entries of F."""
+    pb = init_nerf_params(jax.random.PRNGKey(0), BRICK_CFG)
+    pf = init_nerf_params(jax.random.PRNGKey(0),
+                          ModelConfig(**{**BRICK_CFG.__dict__,
+                                         "hash_brick": False}))
+    assert pb["table"].size == pf["table"].size
+    assert pb["table"].shape[-1] == 128
+
+
+def test_brick_encode_at_dense_vertex_hits_brick_lane():
+    """At an exact vertex of a dense level the encoding equals the
+    stored lane of the enclosing brick (offset = v - 3*(v//3))."""
+    cfg = ModelConfig(arch="hashgrid", hash_levels=1, hash_table_log2=13,
+                      hash_base_res=4, hash_max_res=4, hash_aabb=1.0,
+                      hash_brick=True)
+    Tb = hashgrid.brick_table_entries(cfg)
+    assert Tb == 128 and (2 ** 3) <= Tb  # res-4 brick grid (2^3) is dense
+    table = jnp.arange(Tb * 128, dtype=jnp.float32).reshape(Tb, 128)
+    # vertex (1, 2, 3) of the res-4 grid: u = v/4 -> x = 2u - 1
+    pt = jnp.asarray([[2 * 0.25 - 1, 2 * 0.5 - 1, 2 * 0.75 - 1]])
+    enc = hashgrid.brick_encode(table, pt, cfg)
+    # brick (0,0,1) -> flat 0 + 2*(0 + 2*1) = 4; offset (1,2,0) ->
+    # lane ((1*4+2)*4+0)*2 = 48
+    want = table[4, 48:50]
+    np.testing.assert_allclose(np.asarray(enc[0]), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_brick_encode_trilinear_cell_center():
+    """At a cell center the encoding is the mean of the 8 corner lanes
+    of the single enclosing brick."""
+    cfg = ModelConfig(arch="hashgrid", hash_levels=1, hash_table_log2=13,
+                      hash_base_res=4, hash_max_res=4, hash_aabb=1.0,
+                      hash_brick=True)
+    Tb = hashgrid.brick_table_entries(cfg)
+    table = jnp.asarray(
+        np.random.RandomState(0).randn(Tb, 128).astype(np.float32))
+    # center of cell (0,0,0): u = 0.125 -> scaled 0.5, all in brick 0
+    pt = jnp.asarray([[2 * 0.125 - 1] * 3])
+    enc = hashgrid.brick_encode(table, pt, cfg)
+    lanes = [(((dx * 4 + dy) * 4 + dz)) * 2
+             for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    want = np.stack([np.asarray(table[0, ln:ln + 2]) for ln in lanes]
+                    ).mean(0)
+    np.testing.assert_allclose(np.asarray(enc[0]), want, rtol=1e-5)
+
+
+def test_brick_encode_in_range_and_grad_flow():
+    params = init_nerf_params(jax.random.PRNGKey(0), BRICK_CFG)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 3),
+                             minval=-1.2, maxval=1.2)  # incl. out-of-box
+    vd = jnp.zeros_like(pts).at[..., 2].set(1.0)
+    sigma, rgb = apply_nerf(params, pts, vd, BRICK_CFG, jnp.bfloat16)
+    assert sigma.shape == (8, 16) and rgb.shape == (8, 16, 3)
+    assert bool(jnp.isfinite(sigma).all())
+
+    def loss(p):
+        s, c = apply_nerf(p, pts, vd, BRICK_CFG, None)
+        return jnp.mean(s * s) + jnp.mean(c * c)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["table"]).sum()) > 0
+
+
+def test_brick_train_step_runs():
+    cfg = Config(camera=CameraConfig(width=32, height=32),
+                 model=BRICK_CFG, render=RenderConfig(num_samples=16),
+                 train=TrainConfig(num_rays=64, precision="f32"))
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    o = jnp.zeros((64, 3)).at[:, 2].set(-1.0)
+    d = jnp.zeros((64, 3)).at[:, 2].set(1.0)
+    batch = Batch(origins=o, dirs=d, gold=jnp.ones((64, 3)) * 0.5)
+    state, aux = train_step(state, batch, jax.random.PRNGKey(1), cfg)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_brick_requires_f2():
+    cfg = ModelConfig(arch="hashgrid", hash_features=4, hash_brick=True,
+                      hash_levels=2, hash_table_log2=10)
+    with pytest.raises(ValueError, match="hash_features=2"):
+        hashgrid.brick_encode(jnp.zeros((32, 128)), jnp.zeros((4, 3)),
+                              cfg)
