@@ -84,8 +84,9 @@ class ModelConfig:
     # encodes its EXPECTED sinusoids, E[sin(2^l x)] =
     # sin(2^l mu) exp(-4^l var / 2) — high frequencies self-attenuate
     # with footprint, the anti-aliasing mechanism. Same trunk/head
-    # weights as arch="nerf" (the encoding dim is unchanged). XLA path
-    # only (the fused kernels encode points, not Gaussians).
+    # weights as arch="nerf" (the encoding dim is unchanged). Rides
+    # BOTH whole-ray kernels (in-register conical moments + damped
+    # encoding — kernels/fused_ray.py, fused_train.py) since round 3.
     ipe: bool = False
     hash_levels: int = 16  # L resolution levels
     hash_features: int = 2  # F features per level entry
@@ -130,7 +131,9 @@ class ModelConfig:
     # before encoding — the unbounded-scene parameterization. Composes
     # with every family (set hash_aabb/fac_aabb to 2 for the grid
     # families). Pairs with RenderConfig.sampling_space="disparity".
-    # XLA path only (the fused kernels expand raw metric points).
+    # Lives INSIDE both whole-ray kernels since round 4 (in-register
+    # elementwise transform before the encoder — kernels/fused_render.
+    # _contract_points/_contract_gaussian); XLA path for other families.
     contract: bool = False
 
 
