@@ -175,6 +175,41 @@ def main():
         mbase += 50
     mip_ms_step = 1000.0 * min(mwin)
 
+    # secondary: the mip-NeRF 360 unbounded recipe (--preset unbounded:
+    # radius-2 contraction + disparity spacing + 2-level annealed
+    # proposal + in-kernel distortion) at the record batch shape —
+    # the rebuild's flagship capability delta over the reference
+    # (which hard-bounds every ray, src/ray_sampling.rs:107-125)
+    from nerf_rs_tpu.config import ProposalConfig
+    ucfg = Config(
+        camera=CameraConfig(width=128, height=128, near=0.3, far=60.0),
+        model=ModelConfig(contract=True, sigma_activation="softplus"),
+        render=RenderConfig(num_samples=64, num_fine_samples=0,
+                            sampling_space="disparity",
+                            white_background=False),
+        train=TrainConfig(num_rays=num_rays, precision="mixed",
+                          distortion_weight=0.01),
+        proposal=ProposalConfig(enabled=True, num_samples=64,
+                                num_levels=2, anneal_steps=1000),
+        use_whole_ray_train=True,
+    )
+    ustate = dp.place_state(init_state(key, ucfg), mesh)
+    ustep = dp.make_dp_train_step(ucfg, mesh, dataset=ds)
+    for i in range(3):
+        ustate, uaux = ustep(ustate, ds.images, ds.pose_data,
+                             jax.random.fold_in(key, 40000 + i))
+    float(jax.device_get(uaux["loss"]))
+    uwin, ubase = [], 40003
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(ubase, ubase + 50):
+            ustate, uaux = ustep(ustate, ds.images, ds.pose_data,
+                                 jax.random.fold_in(key, i))
+        float(jax.device_get(uaux["loss"]))
+        uwin.append((time.perf_counter() - t0) / 50)
+        ubase += 50
+    unbounded_ms = 1000.0 * min(uwin)
+
     # secondary: 800x800 novel-view render (coarse-only flagship)
     rcam = CameraConfig(width=800, height=800)
     pose = rays_ops.pose_from_yaw_pitch(jnp.float32(0.3), jnp.float32(0.2))
@@ -210,6 +245,7 @@ def main():
             "render_windows_s": [round(w, 3) for w in render_windows],
             "hier_64_128_step_ms": round(hier_ms, 2),
             "mipnerf_64_128_step_ms": round(mip_ms_step, 2),
+            "unbounded_prop2x64_step_ms": round(unbounded_ms, 2),
             "factored_128_step_ms": round(fac_ms, 2),
             "factored_samples_per_sec_per_chip": round(fac_sps, 1),
             "device": str(jax.devices()[0].device_kind),

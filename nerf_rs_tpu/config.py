@@ -186,6 +186,13 @@ class RenderConfig:
     # unbounded spacing; pairs with ModelConfig.contract). Requires
     # near > 0. Hierarchical/proposal RESAMPLING is space-free (the
     # inverse CDF interpolates whatever bins it is given).
+    # Pallas interpret-mode override for the fused RENDER kernel
+    # (TrainConfig.kernel_interpret's twin): None = auto (interpret
+    # unless the default backend is a TPU). Set True when rendering on
+    # a CPU mesh while a TPU backend is also registered (the hermetic
+    # multichip dryrun) — default_backend() can't see which devices a
+    # shard_map program targets.
+    kernel_interpret: Optional[bool] = None
     sampling_space: str = "linear"
 
     def __post_init__(self):

@@ -245,7 +245,9 @@ def _render_rays_ipe(
                 viewdirs, 1.0)
             ts_p, dl_p = pad(t_mids, 1.0), pad(deltas, 1e-3)
             r_p = pad(radii_flat, 1e-3)
-        interpret = not default_is_tpu()
+        interpret = (render_cfg.kernel_interpret
+                     if render_cfg.kernel_interpret is not None
+                     else not default_is_tpu())
         rgb, acc, depth_v, w, sig = fused_ray_render(
             pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S_p,
             rays_per_block=R, interpret=interpret, radii=r_p,
@@ -421,7 +423,9 @@ def render_rays(
             )
             o_p, d_p, vd_p = pad(flat_o, 0.0), pad(flat_d, 1.0), pad(viewdirs, 1.0)
             ts_p, dl_p = pad(ts_pass, 1.0), pad(deltas, 0.0)
-        interpret = not default_is_tpu()
+        interpret = (render_cfg.kernel_interpret
+                     if render_cfg.kernel_interpret is not None
+                     else not default_is_tpu())
         rgb, acc, depth_v, w, sig = fused_ray_render(
             pk, o_p, d_p, vd_p, ts_p, dl_p, model_cfg, S,
             rays_per_block=R, interpret=interpret,
