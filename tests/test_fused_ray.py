@@ -81,3 +81,22 @@ def test_hierarchical_through_whole_ray_kernel():
     assert fine is not None
     assert fine.rgb.shape == (8, 8, 3)
     assert np.isfinite(np.asarray(fine.rgb)).all()
+
+
+def test_render_kernel_interpret_override():
+    """RenderConfig.kernel_interpret=True must force interpret mode in
+    the fused render path regardless of default_backend() (the
+    multichip-dryrun condition: CPU mesh + a live TPU backend also
+    registered). On the CPU test backend both settings take the same
+    interpret path, so this asserts the override plumbs through and
+    produces the same image as auto."""
+    params = init_nerf_params(jax.random.PRNGKey(0), CFG)
+    o, d, vd, ts = _rays(32)
+    cam = CameraConfig(width=8, height=8, near=0.05, far=2.0)
+    outs = []
+    for ki in (None, True):
+        rc = RenderConfig(num_samples=16, kernel_interpret=ki)
+        out, _ = render.render_rays(params, o, d, jax.random.PRNGKey(3),
+                                    CFG, rc, cam, randomized=False)
+        outs.append(np.asarray(out.rgb))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
