@@ -218,6 +218,10 @@ def hash_encode(
     return enc.reshape(*lead, L * F)
 
 
+# brick_encode chunk size: bounds the (chunk*L, 128) f32 live set
+_BRICK_CHUNK = 1 << 17
+
+
 def brick_encode(
     table: jnp.ndarray, points: jnp.ndarray, cfg: ModelConfig
 ) -> jnp.ndarray:
@@ -250,6 +254,18 @@ def brick_encode(
     lead = points.shape[:-1]
     p = points.reshape(-1, 3)
     n = p.shape[0]
+    # the gathered rows + selection masks are (n*L, 128) f32 — ~8 KB
+    # per point at L=16. Chunk big batches (lax.map = sequential
+    # launches) so a flagship-shape call (~786k points) peaks at
+    # ~1.3 GB instead of ~19 GB of live intermediates.
+    if n > _BRICK_CHUNK:
+        k = -(-n // _BRICK_CHUNK)
+        npad = k * _BRICK_CHUNK
+        p_pad = jnp.concatenate(
+            [p, jnp.zeros((npad - n, 3), p.dtype)]) if npad != n else p
+        chunks = p_pad.reshape(k, _BRICK_CHUNK, 3)
+        enc = jax.lax.map(lambda q: brick_encode(table, q, cfg), chunks)
+        return enc.reshape(npad, L * F)[:n].reshape(*lead, L * F)
     u = jnp.clip((p + cfg.hash_aabb) / (2.0 * cfg.hash_aabb), 0.0, 1.0)
 
     res_l = level_resolutions(cfg)

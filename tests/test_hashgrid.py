@@ -255,3 +255,21 @@ def test_brick_requires_f2():
     with pytest.raises(ValueError, match="hash_features=2"):
         hashgrid.brick_encode(jnp.zeros((32, 128)), jnp.zeros((4, 3)),
                               cfg)
+
+
+def test_brick_encode_chunked_matches_direct(monkeypatch):
+    """The big-batch lax.map chunking path returns exactly the direct
+    result (padding sliced off, order preserved)."""
+    cfg = ModelConfig(arch="hashgrid", hash_levels=2, hash_table_log2=13,
+                      hash_base_res=4, hash_max_res=16, hash_aabb=1.0,
+                      hash_brick=True)
+    Tb = hashgrid.brick_table_entries(cfg)
+    table = jnp.asarray(
+        np.random.RandomState(1).randn(2 * Tb, 128).astype(np.float32))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (70, 3),
+                             minval=-1, maxval=1)
+    direct = hashgrid.brick_encode(table, pts, cfg)
+    monkeypatch.setattr(hashgrid, "_BRICK_CHUNK", 32)  # force 3 chunks
+    chunked = hashgrid.brick_encode(table, pts, cfg)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               rtol=1e-6)
