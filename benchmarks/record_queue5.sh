@@ -42,7 +42,15 @@ run_exp() { # name, flags...
 
 # shellcheck disable=SC2086
 run_exp mip_occ_std   --preset mipnerf $OCC
+# The union rows run the XLA train path: the union+IPE fused train
+# kernel (S + S_f + 1 = 193 merged intervals with in-register conical
+# moments) reproducibly OOM-kills the AOT compile helper (two
+# SIGKILLed compiles ~15 min each) — a measured compile-memory limit,
+# noted in docs/PERFORMANCE.md. Quality is path-independent
+# (kernel-vs-XLA parity is tested).
 # shellcheck disable=SC2086
-run_exp mip_occ_union --preset mipnerf --fine_mode union $OCC
-run_exp mip_union     --preset mipnerf --fine_mode union
+run_exp mip_occ_union --preset mipnerf --fine_mode union \
+  --use_whole_ray_train false $OCC
+run_exp mip_union     --preset mipnerf --fine_mode union \
+  --use_whole_ray_train false
 echo "queue5 drained"
