@@ -363,11 +363,16 @@ def _apply_preset(args):
         _set(num_samples=64, num_fine_samples=128, white_background=True,
              use_whole_ray_train=True)
     elif p == "record":
-        # the quality-record composition (round 3, README): occ-32
-        # grid (0.10 uniform floor) guides the coarse pass of the
-        # union-composited fused hierarchical chain
-        _set(num_samples=64, num_fine_samples=128, white_background=True,
-             use_whole_ray_train=True, occ_res=32, occ_aabb=1.6,
+        # the paper-family quality-record composition (round 4,
+        # README): mip-NeRF IPE on occ-guided interval edges + union
+        # fine — 49.21 dB vs the round-3 point-sampled 48.80 (that
+        # recipe = --preset hierarchical + the same occ flags). XLA
+        # train path: the S=193 union+IPE kernel compile exceeds the
+        # AOT helper's memory (docs/PERFORMANCE.md round 4).
+        _set(ipe=True, share_network=True, fine_mode="union",
+             num_samples=64, num_fine_samples=128,
+             sigma_activation="softplus", white_background=True,
+             use_whole_ray_train=False, occ_res=32, occ_aabb=1.6,
              occ_uniform_frac=0.10)
     elif p == "proposal":
         # measured best time-to-quality (docs/PERFORMANCE.md): tiny

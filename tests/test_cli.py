@@ -170,4 +170,7 @@ def test_record_preset():
     assert cfg.render.occ_res == 32
     assert cfg.render.occ_aabb == 1.6
     assert cfg.render.occ_uniform_frac == 0.10
-    assert cfg.use_whole_ray_train
+    # round-4 record recipe: IPE + union fine via the XLA train path
+    # (the S=193 union+IPE kernel compile exceeds the AOT helper)
+    assert cfg.model.ipe and cfg.render.fine_mode == "union"
+    assert not cfg.use_whole_ray_train
