@@ -152,11 +152,13 @@ def bench_rows(args):
     # one process, interleaved (CLAUDE.md chip-variance rule)
     take = jax.jit(lambda i: jnp.take(table, i, axis=0))
     variants = [("xla_take_rows", take)]
-    for d, u in ((8, 1), (8, 8), (16, 4), (32, 8)):
+    # unroll is pinned to 1: Mosaic's fori_loop supports only
+    # unroll=1 or a full unroll (kernels/gather_rows.py)
+    for d in (4, 8, 16, 32):
         variants.append((
-            f"pallas_d{d}_u{u}",
+            f"pallas_d{d}",
             jax.jit(functools.partial(gr.gather_rows, table,
-                                      block=2048, depth=d, unroll=u)),
+                                      block=2048, depth=d, unroll=1)),
         ))
     variants.append(("xla_take_rows_again", take))
     for name, f in variants:

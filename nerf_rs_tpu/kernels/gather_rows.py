@@ -79,6 +79,11 @@ def gather_rows(
     if N % block != 0:
         raise ValueError(f"N={N} not a multiple of block={block}")
     depth = min(depth, block)
+    # Mosaic's fori_loop lowering supports only unroll=1 or a full
+    # unroll (unroll == trip count); full unroll at block>=1024 blows
+    # compile time, so clamp everything else to 1
+    if unroll not in (1, block):
+        unroll = 1
 
     def kernel(idx_ref, table_ref, out_ref, sems):
         def mk(i, slot):
