@@ -388,8 +388,12 @@ def _apply_preset(args):
     elif p == "ngp":
         # Instant-NGP family (models/hashgrid.py): hash tables learn at
         # much higher lr than MLPs (paper §4); softplus keeps density
-        # gradients alive through the sparse table entries
+        # gradients alive through the sparse table entries. The brick
+        # table layout is the TPU default — 8.4x faster at equal
+        # quality (benchmarks/ab_brick.py); --hash_brick false selects
+        # the paper's flat layout
         _set(arch="hashgrid", sigma_activation="softplus",
+             hash_brick=True,
              learning_rate=1e-2, num_samples=128,
              white_background=True)
     elif p == "factored":
