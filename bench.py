@@ -25,8 +25,25 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def flagship_config():
+    """The bench-of-record flagship Config, exposed so tests can pin the
+    bench path to the CLI path (VERDICT r4 task 6: bench.py constructing
+    Config directly is how the round-3 CLI fused-render default
+    regression went unnoticed — tests/test_bench_cli_seam.py asserts
+    config_from_args resolves to the same hot-path flags)."""
     from nerf_rs_tpu.config import CameraConfig, Config, RenderConfig, TrainConfig
+
+    return Config(
+        camera=CameraConfig(width=128, height=128),
+        render=RenderConfig(num_samples=64),
+        train=TrainConfig(num_rays=4096, precision="mixed",
+                          whole_ray_block=128),
+        use_whole_ray_train=True,
+    )
+
+
+def main():
+    from nerf_rs_tpu.config import CameraConfig, Config
     from nerf_rs_tpu.data import synthetic
     from nerf_rs_tpu.data.device_dataset import DeviceDataset
     from nerf_rs_tpu.ops import rays as rays_ops
@@ -35,15 +52,9 @@ def main():
     from nerf_rs_tpu.train.loop import render_frame
     import numpy as np
 
-    num_rays = 4096
-    num_samples = 64
-    cfg = Config(
-        camera=CameraConfig(width=128, height=128),
-        render=RenderConfig(num_samples=num_samples),
-        train=TrainConfig(num_rays=num_rays, precision="mixed",
-                          whole_ray_block=128),
-        use_whole_ray_train=True,
-    )
+    cfg = flagship_config()
+    num_rays = cfg.train.num_rays
+    num_samples = cfg.render.num_samples
     mesh = mesh_mod.make_mesh()
     nchips = mesh_mod.num_shards(mesh)
 

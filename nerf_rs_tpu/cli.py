@@ -239,7 +239,11 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--num_devices", type=int, default=0)
     common.add_argument("--run_name", default="")
     _bool_flag(common, "compat", False, "reference-compat math (8x100 MLP, sigma-grayscale)")
-    _bool_flag(common, "use_fused_kernel", False)
+    _bool_flag(common, "use_fused_kernel", True,
+               "render via the whole-ray fused Pallas kernel "
+               "(kernels/fused_ray.py) — the measured default: 0.57 s "
+               "vs 0.834 XLA per 800x800 frame (docs/PERFORMANCE.md); "
+               "compat mode defaults it off")
     _bool_flag(common, "use_whole_ray_train", False,
                "train through the whole-ray fused fwd+bwd kernel "
                "(one Pallas launch/step, activations VMEM-resident)")
@@ -350,6 +354,12 @@ def _apply_preset(args):
         # NDC warps rays to the unit depth range; pick it up for the
         # user unless they set near/far themselves (Config validates)
         _set(near=0.0, far=1.0)
+
+    if getattr(args, "compat", False):
+        # the documented exception (config.reference_compat_config):
+        # compat's sigma-grayscale render path stays on XLA unless the
+        # user forces the kernel explicitly
+        _set(use_fused_kernel=False)
 
     if p == "tiny":
         _set(width=100, height=100, num_rays=4096, num_samples=64,
