@@ -330,6 +330,13 @@ class DataConfig:
     prefetch: int = 2  # async host pipeline depth (host mode)
     use_native_loader: bool = True  # C++ batch assembler when built (host mode)
     data_workers: int = 1  # parallel host assembly threads (host mode)
+    # True when the user explicitly passed --near/--far on the command
+    # line (set by cli.config_from_args from the parsed-flag record):
+    # metric-mode LLFF then always honors the value, even if it equals
+    # the parser default — the defaults-proxy alone can't tell an
+    # explicit re-pass of the default from "unset" (ADVICE r4)
+    near_explicit: bool = False
+    far_explicit: bool = False
     # mip-NeRF multiscale training (arXiv 2103.13415 §4): >1 builds a
     # box-downsampled pixel pyramid with this many levels (1/1 .. 1/2^(L-1))
     # and every batch draws equal ray counts per level, each ray carrying
@@ -463,6 +470,16 @@ class Config:
                     "hierarchical interval sampling (no proposal/compat "
                     "samplers: they emit point samples, not intervals)"
                 )
+        if self.model.hash_brick and self.model.hash_features != 2:
+            # fail at config construction, not at trace time deep in a
+            # jitted step (ADVICE r4): the brick row packs 4^3 vertices
+            # x F features into one 128-lane row, which is exact only
+            # at F=2 (models/hashgrid.brick_encode)
+            raise ValueError(
+                "--hash_brick requires hash_features == 2 (one 4^3 "
+                f"brick = 64 vertices x F = 128 lanes); got "
+                f"hash_features={self.model.hash_features}"
+            )
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

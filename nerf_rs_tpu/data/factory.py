@@ -112,15 +112,18 @@ def make_dataset(
         cam = cfg.camera
         # NDC mode (the standard for these captures) keeps the
         # configured [0, 1] range; metric mode inherits the capture's
-        # own COLMAP bounds unless the user moved near/far off the
-        # parser defaults (explicitness proxy: a user re-passing the
-        # exact default is indistinguishable, and gets the scene bound)
+        # own COLMAP bounds unless the user set near/far — explicitly
+        # on the CLI (DataConfig.near_explicit/far_explicit, ADVICE r4)
+        # or, for library callers, by moving the value off the
+        # dataclass default
         defaults = {f.name: f.default for f in dataclasses.fields(cam)}
         if cam.ndc:
             near, far = cam.near, cam.far
         else:
-            near = cam.near if cam.near != defaults["near"] else scene.near
-            far = cam.far if cam.far != defaults["far"] else scene.far
+            near = (cam.near if d.near_explicit
+                    or cam.near != defaults["near"] else scene.near)
+            far = (cam.far if d.far_explicit
+                   or cam.far != defaults["far"] else scene.far)
         camera = cam.__class__(
             width=scene.width,
             height=scene.height,

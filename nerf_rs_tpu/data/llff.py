@@ -170,16 +170,27 @@ def load_llff(
     images = np.stack(imgs, axis=0)
     h, w = images.shape[1:3]
     # hwf is per-view; LLFF captures share intrinsics by construction
-    # (one camera, COLMAP SIMPLE_RADIAL) — verify instead of silently
-    # trusting row 0, then scale the focal from the recorded resolution
-    # to the loaded one
-    if not (np.allclose(hwf, hwf[0:1], rtol=1e-3)):
+    # (one camera, COLMAP SIMPLE_RADIAL). Real captures sometimes carry
+    # slightly refined per-view values, so a spread within 2% gets a
+    # warning and the per-view AVERAGE (ADVICE r4 — a hard error here
+    # rejected captures that previously loaded fine); only a gross
+    # mismatch (different cameras / corrupted file) is an error.
+    if not np.allclose(hwf, hwf[0:1], rtol=0.02):
         raise ValueError(
-            "per-view intrinsics differ across poses_bounds rows "
-            f"(hwf range {hwf.min(0)}..{hwf.max(0)}); this loader "
+            "per-view intrinsics differ grossly across poses_bounds "
+            f"rows (hwf range {hwf.min(0)}..{hwf.max(0)}); this loader "
             "assumes a shared-intrinsics capture"
         )
-    focal = float(hwf[0, 2]) * (w / float(hwf[0, 1]))
+    if not np.allclose(hwf, hwf[0:1], rtol=1e-3):
+        import warnings
+
+        warnings.warn(
+            "per-view intrinsics differ slightly across poses_bounds "
+            f"rows (hwf range {hwf.min(0)}..{hwf.max(0)}); averaging",
+            stacklevel=2,
+        )
+    hwf_mean = hwf.mean(axis=0)
+    focal = float(hwf_mean[2]) * (w / float(hwf_mean[1]))
     return LLFFScene(
         images=images,
         c2w=c2w[idx].astype(np.float32),

@@ -166,10 +166,22 @@ def _occ_pdf(origins, dirs, grid, camera: CameraConfig,
              render_cfg: RenderConfig):
     """Shared per-ray piecewise-constant PDF over [near, far]:
     (bins (N, B+1), weights (N, B)) — occupancy-thresholded bin mass
-    blended with the occ_uniform_frac floor (see occupancy_ts)."""
+    blended with the occ_uniform_frac floor (see occupancy_ts).
+
+    Bins follow render_cfg.sampling_space (ADVICE r4): with
+    "disparity" they are even in 1/t (ops/sampling.stratified_ts's
+    spacing), so the uniform floor's per-bin mass reproduces the 1/t
+    sample allocation the user asked for instead of silently
+    reverting to linear."""
     n = origins.shape[0]
     B = render_cfg.occ_bins
-    bins_1d = jnp.linspace(camera.near, camera.far, B + 1)
+    if render_cfg.sampling_space == "disparity":
+        # ascending in t: linspace runs 1/near -> 1/far (descending
+        # disparity), so the reciprocal runs near -> far
+        bins_1d = 1.0 / jnp.linspace(
+            1.0 / camera.near, 1.0 / camera.far, B + 1)
+    else:
+        bins_1d = jnp.linspace(camera.near, camera.far, B + 1)
     mids = 0.5 * (bins_1d[1:] + bins_1d[:-1])
     occ = _bin_occupancy(origins, dirs, mids, grid, render_cfg.occ_aabb)
     hard = (occ > render_cfg.occ_threshold).astype(jnp.float32)
