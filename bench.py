@@ -186,6 +186,42 @@ def main():
         mbase += 50
     mip_ms_step = 1000.0 * min(mwin)
 
+    # secondary: the record-recipe kernel shape — union fine merge
+    # (S + S_f + 1 = 193 merged intervals, compile-pad-aligned to 200:
+    # the round-5 Mosaic sublane fix that moved --preset record off the
+    # XLA fallback, 37.3 -> vs 59 ms/step on-chip). Guarded: a compile
+    # regression here must not take down the metric of record.
+    record_ms = None
+    try:
+        rcfg2 = Config(
+            camera=cfg.camera,
+            model=ModelConfig(ipe=True, sigma_activation="softplus"),
+            render=RenderConfig(num_samples=64, num_fine_samples=128,
+                                share_network=True, fine_mode="union",
+                                white_background=True),
+            train=cfg.train,
+            use_whole_ray_train=True,
+        )
+        rstate = dp.place_state(init_state(key, rcfg2), mesh)
+        rstep = dp.make_dp_train_step(rcfg2, mesh, dataset=ds)
+        for i in range(3):
+            rstate, raux = rstep(rstate, ds.images, ds.pose_data,
+                                 jax.random.fold_in(key, 50000 + i))
+        float(jax.device_get(raux["loss"]))
+        rwin, rbase = [], 50003
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(rbase, rbase + 50):
+                rstate, raux = rstep(rstate, ds.images, ds.pose_data,
+                                     jax.random.fold_in(key, i))
+            float(jax.device_get(raux["loss"]))
+            rwin.append((time.perf_counter() - t0) / 50)
+            rbase += 50
+        record_ms = 1000.0 * min(rwin)
+    except Exception as e:  # pragma: no cover - defensive for the driver
+        print(f"# record-shape window skipped: {type(e).__name__}: {e}",
+              flush=True)
+
     # secondary: the mip-NeRF 360 unbounded recipe (--preset unbounded:
     # radius-2 contraction + disparity spacing + 2-level annealed
     # proposal + in-kernel distortion) at the record batch shape —
@@ -256,6 +292,8 @@ def main():
             "render_windows_s": [round(w, 3) for w in render_windows],
             "hier_64_128_step_ms": round(hier_ms, 2),
             "mipnerf_64_128_step_ms": round(mip_ms_step, 2),
+            "record_union_ipe_step_ms": (None if record_ms is None
+                                         else round(record_ms, 2)),
             "unbounded_prop2x64_step_ms": round(unbounded_ms, 2),
             "factored_128_step_ms": round(fac_ms, 2),
             "factored_samples_per_sec_per_chip": round(fac_sps, 1),

@@ -376,13 +376,15 @@ def _apply_preset(args):
         # the paper-family quality-record composition (round 4,
         # README): mip-NeRF IPE on occ-guided interval edges + union
         # fine — 49.21 dB vs the round-3 point-sampled 48.80 (that
-        # recipe = --preset hierarchical + the same occ flags). XLA
-        # train path: the S=193 union+IPE kernel compile exceeds the
-        # AOT helper's memory (docs/PERFORMANCE.md round 4).
+        # recipe = --preset hierarchical + the same occ flags). Rides
+        # the whole-ray kernels since round 5: the S=193 union pass is
+        # compile-pad-aligned to 200 (kernels/fused_train.py's Mosaic
+        # guard), lifting the round-4 XLA fallback (~60 ms/step -> the
+        # fused chain).
         _set(ipe=True, share_network=True, fine_mode="union",
              num_samples=64, num_fine_samples=128,
              sigma_activation="softplus", white_background=True,
-             use_whole_ray_train=False, occ_res=32, occ_aabb=1.6,
+             use_whole_ray_train=True, occ_res=32, occ_aabb=1.6,
              occ_uniform_frac=0.10)
     elif p == "proposal":
         # measured best time-to-quality (docs/PERFORMANCE.md): tiny
@@ -543,6 +545,8 @@ def config_from_args(args) -> "Config":
             llff_factor=args.llff_factor,
             llff_holdout=args.llff_holdout,
             multiscale_levels=args.multiscale_levels,
+            near_explicit="near" in getattr(args, "_explicit", set()),
+            far_explicit="far" in getattr(args, "_explicit", set()),
         ),
         proposal=ProposalConfig(
             enabled=args.use_proposal,

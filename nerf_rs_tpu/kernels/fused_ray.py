@@ -190,6 +190,17 @@ def fused_ray_render(
     R = rays_per_block
     assert n % R == 0, (n, R)
     assert ts.shape == (n, S)
+    # Mosaic compile guard: pad sublane-unaligned S with zero-length
+    # intervals (w == 0 exactly — see fused_train.fused_train_grads's
+    # note; the unguarded S=193 union compile ran >6 min vs ~73 s at
+    # S=200 on v5e)
+    if S % 8 != 0:
+        pad = 8 - S % 8
+        ts = jnp.concatenate(
+            [ts, jnp.broadcast_to(ts[:, -1:], (n, pad))], axis=1)
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((n, pad), deltas.dtype)], axis=1)
+        S = S + pad
     ipe = bool(cfg.ipe)
     if ipe:
         assert radii is not None, "cfg.ipe needs per-ray radii"
@@ -248,4 +259,6 @@ def fused_ray_render(
       *packed.trunk_w, packed.skip_w, *packed.trunk_b,
       packed.sf_w, packed.sf_b, packed.view_w, packed.view_dir_w,
       packed.view_b, packed.rgb_w, packed.rgb_b)
-    return out[:, :3], out[:, 3], out[:, 4], w_rs, sigma_rs
+    # drop compile-pad intervals (their w is exactly 0)
+    return (out[:, :3], out[:, 3], out[:, 4],
+            w_rs[:, :num_samples], sigma_rs[:, :num_samples])

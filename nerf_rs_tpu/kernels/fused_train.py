@@ -282,8 +282,17 @@ def _train_kernel(
         incl = (rs_i <= cs_i).astype(f32)
         if dist_disparity:
             m = each(lambda p: (dist_near - 1.0 / ts[p]) * dist_inv_span)
-            dn = each(lambda p: deltas[p] / (ts[p] * (ts[p] + deltas[p]))
-                      * dist_inv_span)
+            if ipe:
+                # IPE ts are interval MIDPOINTS: the interval is
+                # [mid - dt/2, mid + dt/2], so the exact s-length is
+                # dt / ((mid - dt/2)(mid + dt/2)) (ADVICE r4 — the
+                # [mid, mid+dt] form below deviates by O(dt^2))
+                dn = each(lambda p: deltas[p] / (
+                    (ts[p] - 0.5 * deltas[p]) * (ts[p] + 0.5 * deltas[p])
+                ) * dist_inv_span)
+            else:
+                dn = each(lambda p: deltas[p] / (
+                    ts[p] * (ts[p] + deltas[p])) * dist_inv_span)
         else:
             m = each(lambda p: (ts[p] - dist_near) * dist_inv_span)
             dn = each(lambda p: deltas[p] * dist_inv_span)
@@ -477,6 +486,24 @@ def fused_train_grads(
     S = num_samples
     R = rays_per_block
     assert n % R == 0, (n, R)
+    # Mosaic compile guard (round 5): sublane-UNALIGNED interval counts
+    # (S % 8 != 0 — e.g. the union fine pass's S + S_f + 1 = 193) send
+    # the Mosaic compiler into a pathological relayout search: the
+    # S=193 compile ran >15 min and OOM-killed the AOT helper, while
+    # S=200 compiles in ~5 min and runs 26.5 ms/4096 rays (probed on
+    # v5e). Pad with zero-LENGTH intervals at the far end: delta = 0
+    # -> a = sigma*delta = 0 -> w = 0 exactly, so the forward loss,
+    # every dW (dsigma = da*delta = 0 kills the pad rows' backward)
+    # and the distortion terms (w = 0, dn = 0) are unchanged; the
+    # padded ts reuse the last midpoint so disparity's 1/t and the
+    # IPE moments stay finite.
+    if S % 8 != 0:
+        pad = (8 - S % 8)
+        ts = jnp.concatenate(
+            [ts, jnp.broadcast_to(ts[:, -1:], (n, pad))], axis=1)
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((n, pad), deltas.dtype)], axis=1)
+        S = S + pad
     depth = cfg.net_depth
     pos, pos_pad, dird, dir_pad = enc_dims(cfg)
     W = cfg.net_width
@@ -580,7 +607,7 @@ def fused_train_grads(
       *packedT.trunk_wT, packedT.feat_wT, packedT.view_wT, packedT.rgb_wT,
       packedT.sigma_w_row)
     diag = outs[0]
-    weights = outs[1]
+    weights = outs[1][:, :num_samples]  # drop compile-pad intervals
     g = outs[2:]
     return TrainGrads(
         diag=diag,

@@ -34,6 +34,10 @@ class RenderOut(NamedTuple):
     acc: jnp.ndarray  # (...,) accumulated opacity
     ts: Optional[jnp.ndarray] = None  # (..., S) sample distances of this
     # pass (regularizers like distortion_loss need them next to weights)
+    deltas: Optional[jnp.ndarray] = None  # (..., S) exact interval
+    # lengths — set by the IPE (interval) paths, where ts are midpoints
+    # and the shifted-diff delta convention would be an O(dt^2)
+    # approximation (ADVICE r4); point paths leave it None
 
 
 def composite(
@@ -83,6 +87,7 @@ def distortion_loss(
     near: float,
     far: float,
     space: str = "linear",
+    deltas: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """mip-NeRF 360 distortion loss (eq. 15, arXiv 2111.12077), adapted
     to point samples: with s = the sample positions normalized to
@@ -103,8 +108,15 @@ def distortion_loss(
     Sample positions are treated as values (stop-gradient), matching
     mip-NeRF 360 and the fused-kernel implementation — only the
     weights receive gradient.
+
+    ``deltas`` (the interval/IPE path): ``ts`` are interval MIDPOINTS
+    and ``deltas`` exact interval lengths — the s-space lengths are
+    computed exactly (disparity: dt / ((mid - dt/2)(mid + dt/2)),
+    ADVICE r4) instead of via the shifted-diff point convention.
     """
     ts = jax.lax.stop_gradient(ts)
+    if deltas is not None:
+        deltas = jax.lax.stop_gradient(deltas)
     if space == "disparity":
         # normalize in the SAMPLING space (mip-NeRF 360 defines the loss
         # over s, the normalized ray coordinate — disparity for
@@ -112,12 +124,17 @@ def distortion_loss(
         # monotone increasing in t so the prefix-sum identity holds
         g0, g1 = 1.0 / near, 1.0 / far
         s = (g0 - 1.0 / ts) / (g0 - g1)
-        last = jnp.ones_like(s[..., :1])
-        d = jnp.concatenate([s[..., 1:], last], axis=-1) - s
+        if deltas is not None:
+            d = deltas / ((ts - 0.5 * deltas) * (ts + 0.5 * deltas)
+                          ) / (g0 - g1)
+        else:
+            last = jnp.ones_like(s[..., :1])
+            d = jnp.concatenate([s[..., 1:], last], axis=-1) - s
     else:
         inv_span = 1.0 / (far - near)
         s = (ts - near) * inv_span
-        d = sampling.deltas_from_ts(ts, far) * inv_span
+        d = (deltas if deltas is not None
+             else sampling.deltas_from_ts(ts, far)) * inv_span
     cw = jnp.cumsum(weights, axis=-1)
     cwm = jnp.cumsum(weights * s, axis=-1)
     w_tot = cw[..., -1:]
@@ -235,6 +252,11 @@ def _render_rays_ipe(
         S_p = t_mids.shape[-1]
         R = max(8, min(128, (128 * 64) // max(S_p, 1)))
         R = 1 << (R.bit_length() - 1)
+        # merged-interval passes: cap rows <= 4096 for compile time
+        # (train/step._whole_ray_pass's probed knee — same kernel family)
+        if S_p > 128:
+            while R > 8 and R * S_p > 4096:
+                R //= 2
         npad = ((n + R - 1) // R) * R
         o_p, d_p, vd_p = flat_o, flat_d, viewdirs
         ts_p, dl_p, r_p = t_mids, deltas, radii_flat
@@ -257,7 +279,7 @@ def _render_rays_ipe(
         if render_cfg.white_background:
             rgb = rgb + (1.0 - acc[..., None])
         return RenderOut(rgb=rgb, weights=w, sigma=sig, depth=depth_v,
-                         acc=acc, ts=t_mids)
+                         acc=acc, ts=t_mids, deltas=deltas)
 
     def ipe_pass(pass_params, edges, noise_key, pass_packed=None):
         if use_fused:
@@ -272,7 +294,7 @@ def _render_rays_ipe(
         return composite(
             sigma, rgb[..., :3], deltas,
             white_background=render_cfg.white_background, ts=t_mids,
-        )
+        )._replace(deltas=deltas)
 
     if grid is not None and not render_cfg.compat_sampling:
         from . import occupancy
@@ -316,6 +338,8 @@ def _render_rays_ipe(
             depth=out.depth.reshape(n_rays_shape),
             acc=out.acc.reshape(n_rays_shape),
             ts=out.ts.reshape(*n_rays_shape, -1),
+            deltas=(None if out.deltas is None
+                    else out.deltas.reshape(*n_rays_shape, -1)),
         )
 
     return unflatten(coarse), (unflatten(fine) if fine is not None else None)

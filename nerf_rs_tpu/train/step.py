@@ -213,6 +213,7 @@ def loss_fn(
         loss_d = render.distortion_loss(
             finest.weights, finest.ts, cfg.camera.near, cfg.camera.far,
             space=cfg.render.sampling_space,
+            deltas=finest.deltas,  # IPE: exact interval lengths
         )
         loss = loss + cfg.train.distortion_weight * loss_d
         aux["loss_dist"] = loss_d
@@ -428,6 +429,13 @@ def _whole_ray_pass(
     # rows-per-block (R*S) stays at the tuned S=64 operating point
     rays_per_block = max(1, (cfg.train.whole_ray_block * 64) // S)
     rays_per_block = 1 << (rays_per_block.bit_length() - 1)  # floor pow2
+    # merged-interval passes (S > 128, e.g. union's S + S_f + 1): halve
+    # the block to rows <= 4096 — Mosaic compile time scales savagely
+    # with rows at these S (61 s at rows=3200 vs 324-702 s at 6400,
+    # probed round 5 on v5e) while the step cost moves < 3%
+    if S > 128:
+        while rays_per_block > 1 and rays_per_block * S > 4096:
+            rays_per_block //= 2
     while n % rays_per_block != 0 and rays_per_block > 1:
         rays_per_block //= 2  # batch must divide into whole blocks
     tg = fused_train_grads(

@@ -170,10 +170,11 @@ def test_record_preset():
     assert cfg.render.occ_res == 32
     assert cfg.render.occ_aabb == 1.6
     assert cfg.render.occ_uniform_frac == 0.10
-    # round-4 record recipe: IPE + union fine via the XLA train path
-    # (the S=193 union+IPE kernel compile exceeds the AOT helper)
+    # round-4 record recipe: IPE + union fine; rides the whole-ray
+    # kernels since round 5 (the S=193 union pass is compile-pad
+    # aligned to 200 — kernels/fused_train.py's Mosaic guard)
     assert cfg.model.ipe and cfg.render.fine_mode == "union"
-    assert not cfg.use_whole_ray_train
+    assert cfg.use_whole_ray_train
 
 
 def test_fused_render_is_the_cli_default():

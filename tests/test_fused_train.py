@@ -330,3 +330,61 @@ def test_halves_interleaving_matches_single_stream():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_unaligned_sample_count_pads_exactly():
+    """S % 8 != 0 (the union fine pass's S + S_f + 1 shape) triggers the
+    Mosaic compile-guard padding (round 5): zero-length intervals at the
+    far end must leave forward outputs, weights shape, and every
+    gradient leaf identical to the same rays evaluated at their true S
+    via autodiff."""
+    S_odd = 13
+    params = init_nerf_params(jax.random.PRNGKey(4), CFG)
+    o, d, vd, _, _, gold = _data(jax.random.PRNGKey(5))
+    ts = jnp.sort(jax.random.uniform(jax.random.PRNGKey(6), (N, S_odd))
+                  * 1.8 + 0.05, axis=-1)
+    deltas = sampling.deltas_from_ts(ts, FAR)
+    packed = pack_weights(params, CFG)
+    tg = fused_train_grads(packed, pack_weights_t(packed, CFG),
+                           o, d, vd, ts, deltas, gold, CFG, S_odd,
+                           white_bg=True, rays_per_block=R, interpret=True)
+    assert tg.weights.shape == (N, S_odd)  # pad intervals dropped
+    (loss_ref, out_ref), grads_ref = jax.value_and_grad(
+        _jnp_loss, has_aux=True
+    )(params, o, d, vd, ts, deltas, gold, True)
+    np.testing.assert_allclose(np.asarray(tg.diag[:, :3]),
+                               np.asarray(out_ref.rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(tg.weights),
+                               np.asarray(out_ref.weights), atol=2e-2)
+    assert abs(float(jnp.mean(tg.diag[:, 4])) - float(loss_ref)) < 2e-3
+    grads = unpack_grads(tg, params, CFG)
+    flat_k, _ = jax.tree_util.tree_flatten(grads)
+    flat_r, _ = jax.tree_util.tree_flatten(grads_ref)
+    for gk, gr in zip(flat_k, flat_r):
+        gk, gr = np.asarray(gk), np.asarray(gr)
+        scale = max(np.abs(gr).max(), 1e-8)
+        np.testing.assert_allclose(gk / scale, gr / scale, atol=4e-2)
+
+
+def test_unaligned_render_kernel_pads_exactly():
+    """fused_ray_render at S % 8 != 0: padded intervals contribute zero
+    weight; rgb/acc/weights match the composite oracle at true S."""
+    from nerf_rs_tpu.kernels.fused_ray import fused_ray_render
+
+    S_odd = 11
+    params = init_nerf_params(jax.random.PRNGKey(7), CFG)
+    o, d, vd, _, _, _ = _data(jax.random.PRNGKey(8))
+    ts = jnp.sort(jax.random.uniform(jax.random.PRNGKey(9), (N, S_odd))
+                  * 1.8 + 0.05, axis=-1)
+    deltas = sampling.deltas_from_ts(ts, FAR)
+    packed = pack_weights(params, CFG)
+    rgb_k, acc_k, _, w_k, sig_k = fused_ray_render(
+        packed, o, d, vd, ts, deltas, CFG, S_odd,
+        rays_per_block=R, interpret=True)
+    assert w_k.shape == (N, S_odd) and sig_k.shape == (N, S_odd)
+    _, out_ref = _jnp_loss(params, o, d, vd, ts, deltas,
+                           jnp.zeros((N, 3)), False)
+    np.testing.assert_allclose(np.asarray(rgb_k),
+                               np.asarray(out_ref.rgb), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(w_k),
+                               np.asarray(out_ref.weights), atol=2e-2)
