@@ -241,6 +241,85 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, dataset=None,
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_slice_dp_train_step(cfg: Config, mesh: Mesh):
+    """DP train step over a 2-D (dcn, data) mesh (mesh.make_slice_mesh)
+    — the MULTI-SLICE scaling story (SURVEY §5.8, VERDICT r4 weak #5).
+
+    Rays are sharded over BOTH axes (pure DP: every chip gets
+    num_rays / (n_slices * slice_size) rays); params replicate
+    everywhere. The gradient sync is HIERARCHICAL, written as two
+    explicit pmeans so the collective structure matches the physical
+    interconnects:
+
+      1. pmean over 'data'  — within each slice, rides the ICI torus;
+      2. pmean over 'dcn'   — ONE pre-reduced gradient per slice
+         crosses the data-center network.
+
+    Stage 2's DCN bytes are 1/slice_size of a flat all-reduce over
+    every chip, which is the whole point: DCN bandwidth per chip is
+    ~25x below ICI on v5e pods, so the cross-slice reduction must see
+    already-reduced operands. For the ~2.4 MB flagship param pytree
+    the per-step DCN cost is ~2.4 MB x 2 (bidirectional ring over
+    slices) regardless of slice size.
+
+    Signature: (state, batch, key) -> (state, aux); batch rays arrive
+    sharded P(('dcn', 'data')). Numerics are identical to the 1-D path
+    (pmean-of-pmeans over equal shard sizes == global mean — asserted
+    against the single-device step in tests/test_parallel.py).
+    """
+    from .mesh import DCN_AXIS
+
+    opt = step_mod.make_optimizer(cfg)
+
+    def _step(state: TrainState, batch: Batch, key: jax.Array):
+        # fold BOTH mesh coordinates so stratified samples differ on
+        # every chip of every slice
+        key = jax.random.fold_in(key, jax.lax.axis_index(DCN_AXIS))
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        trainable = step_mod._trainable(state, cfg)
+        grads, aux = _local_grads_plain(trainable, batch, key, cfg,
+                                        state.grid, state.step)
+        ray_err = aux.pop("ray_err")
+        # hierarchical sync: ICI first, then one copy per slice over DCN
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        grads = jax.lax.pmean(grads, DCN_AXIS)
+        aux = jax.lax.pmean(jax.lax.pmean(aux, DATA_AXIS), DCN_AXIS)
+        aux["ray_err"] = ray_err
+        return step_mod.apply_grads(state, trainable, grads, opt, cfg), aux
+
+    aux_spec = {
+        "loss": P(), "loss_coarse": P(), "psnr": P(),
+        "ray_err": P((DCN_AXIS, DATA_AXIS)),
+    }
+    if cfg.render.num_fine_samples > 0:
+        aux_spec["loss_fine"] = P()
+    if cfg.proposal.enabled:
+        aux_spec["loss_prop"] = P()
+    if cfg.train.distortion_weight > 0:
+        aux_spec["loss_dist"] = P()
+    sharded = jax.shard_map(
+        _step,
+        mesh=mesh,
+        in_specs=(P(), P((DCN_AXIS, DATA_AXIS)), P()),
+        out_specs=(P(), aux_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def _local_grads_plain(trainable, batch: Batch, key: jax.Array, cfg: Config,
+                       grid=None, step=None):
+    """Single-shard gradient computation shared by the mesh variants
+    (the 1-D path's _local_grads closure, hoisted for reuse)."""
+    if step_mod.whole_ray_supported(cfg):
+        return step_mod.whole_ray_grads(trainable, batch, key, cfg, grid,
+                                        step)
+    (loss, aux), grads = jax.value_and_grad(
+        step_mod.loss_fn, has_aux=True
+    )(trainable, batch, key, cfg, grid, step)
+    return grads, aux
+
+
 def default_render_chunk(render_cfg, fused: bool = False) -> int:
     """Render-chunk ray count for a fixed ray-sample memory budget.
 

@@ -20,6 +20,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SCENE_AXIS = "scene"
+DCN_AXIS = "dcn"
+
+
+def make_slice_mesh(n_slices: int, num_devices: int = 0, devices=None) -> Mesh:
+    """2-D (dcn, data) mesh for MULTI-SLICE data parallelism
+    (SURVEY §5.8 names both interconnects): row = one ICI-connected
+    slice, rows joined by the data-center network. Gradients sync
+    hierarchically (dp.make_slice_dp_train_step): pmean over 'data'
+    rides ICI inside each slice, then ONE pre-reduced copy per slice
+    crosses DCN in the 'dcn' pmean — DCN traffic is 1/slice_size of a
+    flat all-reduce over every chip.
+
+    Device order matters on real pods: jax.devices() is process-major
+    under jax.distributed, and processes are slice-major, so a
+    contiguous reshape puts each slice's devices in one row. E.g. two
+    v5e-256 slices -> make_slice_mesh(2) gives (2, 256). On one slice
+    (or CPU-device tests) the rows are virtual but the collective
+    structure — and therefore the compiled program — is the same.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        assert num_devices <= len(devices), (
+            f"requested {num_devices} devices, have {len(devices)}"
+        )
+        devices = devices[:num_devices]
+    ndev = len(devices)
+    assert ndev % n_slices == 0, (
+        f"{ndev} devices do not split into {n_slices} equal slices"
+    )
+    return Mesh(
+        np.asarray(devices).reshape(n_slices, ndev // n_slices),
+        (DCN_AXIS, DATA_AXIS),
+    )
 
 
 def make_scene_mesh(
