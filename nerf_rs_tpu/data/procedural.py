@@ -277,6 +277,70 @@ def field_360(points: jnp.ndarray, sharpness: float = 50.0
     return sigma, rgb
 
 
+def field_deep(points: jnp.ndarray, sharpness: float = 50.0
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TRULY deep unbounded scene ("deep360", VERDICT r4 task 3):
+    content spanning t in [~3, 2500] — three decades of depth, built to
+    measure where scene contraction is load-bearing rather than merely
+    plausible. lego360's far plane (t=60) let raw-coordinate PE fit the
+    whole scene; here the raw positions reach |x| ~ 2500, where the
+    un-contracted encoding fails twice over: the PE's base frequency
+    (period 2 pi) aliases ~400x across the range, and the raw-input
+    lanes (include_input_in_enc) feed |x| ~ 2.5e3 magnitudes into a
+    unit-scale MLP. Contraction maps all of it into radius < 2.
+
+    Layers (all angularly textured — the far field is an environment,
+    matching what real 360 captures have at depth):
+      * the lego-class central object + ground disc + pillar ring of
+        field_360 (t ~ 3-45 from the camera ring)
+      * three landmark spheres at radius 100-160 (r = 24-34)
+      * a torus ring at radius 350 (tube r = 60)
+      * an enclosing sky SHELL at radius 1300-2500: every ray
+        terminates on angular texture, so the scene needs no
+        background convention at any far plane
+    Primitive sizes grow ~linearly with distance (constant angular
+    size), the regime disparity sampling and the gold integrator's
+    1/t spacing both resolve."""
+    p = points
+    sigma_near, rgb_near = field_360(p, sharpness=sharpness)
+
+    R = jnp.sqrt(jnp.sum(p * p, axis=-1))
+    az = jnp.arctan2(p[..., 1], p[..., 0])
+    el = jnp.arctan2(p[..., 2], jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2))
+
+    s1 = _sd_sphere(p, (110.0, 40.0, 30.0), 24.0)
+    s2 = _sd_sphere(p, (-80.0, -120.0, 50.0), 30.0)
+    s3 = _sd_sphere(p, (-30.0, 150.0, 70.0), 34.0)
+    landmarks = jnp.minimum(jnp.minimum(s1, s2), s3)
+    ring = _sd_torus(p, (0.0, 0.0, 40.0), 350.0, 60.0)
+    # solid shell: occupied between radii 1300 and 2500
+    sky = jnp.maximum(1300.0 - R, R - 2500.0)
+
+    sdfs = jnp.stack([landmarks, ring, sky], axis=-1)
+    sdf = jnp.min(sdfs, axis=-1)
+    prim = jnp.argmin(sdfs, axis=-1)
+    # far surfaces use a soft, SCALE-MATCHED sharpness (their gold
+    # sample spacing is tens-to-hundreds of units)
+    far_sharp = jnp.where(prim == 2, 0.02, 0.15)
+    sigma_far = 60.0 * jax.nn.sigmoid(-sdf * far_sharp)
+
+    palette = jnp.asarray([
+        [0.85, 0.55, 0.20],  # landmark spheres: amber
+        [0.30, 0.65, 0.35],  # ring: green
+        [0.40, 0.45, 0.80],  # sky shell: blue
+    ], jnp.float32)
+    base = palette[prim]
+    # angular texture (constant frequency as seen from the origin):
+    # what an environment at any depth actually looks like
+    stripes = 0.5 + 0.5 * jnp.sin(6.0 * az) * jnp.sin(8.0 * el + 1.0)
+    rgb_far = jnp.clip(base * (0.45 + 0.55 * stripes)[..., None], 0.0, 1.0)
+
+    sigma = sigma_near + sigma_far
+    w = sigma_near / jnp.maximum(sigma, 1e-6)
+    rgb = w[..., None] * rgb_near + (1.0 - w[..., None]) * rgb_far
+    return sigma, rgb
+
+
 def forward_facing_poses(n: int, seed: int) -> np.ndarray:
     """n cameras jittered on a small plane near the world origin, all
     looking toward the content plane at z = -FACING_DEPTH — an
@@ -300,7 +364,7 @@ def forward_facing_poses(n: int, seed: int) -> np.ndarray:
 
 
 FIELDS = {"lego": field, "helix": field_helix, "facing": field_facing,
-          "lego360": field_360}
+          "lego360": field_360, "deep360": field_deep}
 
 
 def look_at_c2w(eye: np.ndarray, target=(0.0, 0.0, 0.15),
@@ -402,9 +466,21 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
     if scene == "lego360":
         near, far, space = 0.3, 60.0, "disparity"
         num_samples = max(num_samples, 1024)
+    elif scene == "deep360":
+        # three-decade depth range: 1/t-spaced gold integration at
+        # 3072 samples puts ~7-unit spacing at the landmark spheres
+        # (t ~ 120) and guarantees multiple samples inside the
+        # 1200-unit sky shell (spacing ~1100 at t ~ 1500)
+        near, far, space = 1.0, 2500.0, "disparity"
+        num_samples = max(num_samples, 3072)
     focal = 0.5 * size / math.tan(0.5 * CAMERA_ANGLE_X)
     splits = [("train", n_train, seed + 1), ("val", n_val, seed + 2),
               ("test", n_test, seed + 3)]
+    # scale the ray chunk down with the sample count: the (chunk, S, 3)
+    # point temps pay the 128-lane pad, so chunk * S is the memory knob
+    # (4096 x 512 is the tuned point; deep360's 3072 samples would OOM
+    # a 16 GB HBM at the default chunk)
+    chunk = max(512, 4096 * 512 // num_samples)
     for split, n, s in splits:
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
         poses = pose_fn(n, s)
@@ -412,7 +488,7 @@ def make_blender_scene(out_dir: str, size: int = 800, n_train: int = 100,
         for i in range(n):
             img = render_gold(poses[i], size, size, focal, near=near,
                               far=far, num_samples=num_samples,
-                              field_fn=field_fn, space=space)
+                              field_fn=field_fn, space=space, chunk=chunk)
             save_png(os.path.join(out_dir, split, f"r_{i}.png"), img)
             frames.append({
                 "file_path": f"./{split}/r_{i}",

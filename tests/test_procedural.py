@@ -80,3 +80,44 @@ def test_helix_field_and_gold_frame():
     img_lego = procedural.render_gold(pose, size, size, focal,
                                       num_samples=64, chunk=512)
     assert np.abs(img - img_lego).mean() > 0.05
+
+
+def test_deep_field_three_decades():
+    """field_deep (the deep360 contraction testbed, VERDICT r4 task 3):
+    content at t ~ 3 (central object), ~100 (landmarks), ~350 (ring),
+    and an enclosing sky shell at 1300-2500 — and EVERY ray terminates
+    on the shell, so gold frames have acc ~ 1 with no background
+    convention."""
+    # central object (field_360's slab) is still there
+    s_in, _ = procedural.field_deep(jnp.asarray([[0.0, 0.0, -0.15]]))
+    assert float(s_in[0]) > 30.0
+    # landmark sphere at (110, 40, 30) r=24
+    s_lm, _ = procedural.field_deep(jnp.asarray([[110.0, 40.0, 30.0]]))
+    assert float(s_lm[0]) > 30.0
+    # ring torus at radius 350
+    s_ring, _ = procedural.field_deep(jnp.asarray([[350.0, 0.0, 40.0]]))
+    assert float(s_ring[0]) > 30.0
+    # inside the sky shell: dense; in the voids between layers: empty
+    s_sky, rgb_sky = procedural.field_deep(jnp.asarray([[1900.0, 0.0, 0.0]]))
+    s_void, _ = procedural.field_deep(jnp.asarray([[700.0, 0.0, 0.0]]))
+    assert float(s_sky[0]) > 30.0
+    assert float(s_void[0]) < 1.0
+    assert 0.0 <= float(rgb_sky.min()) and float(rgb_sky.max()) <= 1.0
+    # the shell is angularly textured (an environment, not a constant)
+    pts = jnp.stack([1900.0 * jnp.cos(jnp.linspace(0, 2, 16)),
+                     1900.0 * jnp.sin(jnp.linspace(0, 2, 16)),
+                     jnp.zeros(16)], axis=-1)
+    _, rgb_tex = procedural.field_deep(pts)
+    assert float(rgb_tex.std(axis=0).max()) > 0.05
+
+    # gold frame: disparity integration over three decades; every ray
+    # hits the shell -> acc ~ 1 everywhere
+    size = 16
+    focal = 0.5 * size / math.tan(0.5 * procedural.CAMERA_ANGLE_X)
+    pose = procedural.hemisphere_poses(1, 7)[0]
+    img = procedural.render_gold(pose, size, size, focal, near=1.0,
+                                 far=2500.0, num_samples=1024, chunk=256,
+                                 field_fn=procedural.field_deep,
+                                 space="disparity")
+    assert np.isfinite(img).all()
+    assert img[..., 3].min() > 0.98

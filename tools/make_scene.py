@@ -25,7 +25,7 @@ def main(argv=None) -> int:
                    help="gold integration samples per ray")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--scene", default="lego",
-                   choices=["lego", "helix", "facing", "lego360"],
+                   choices=["lego", "helix", "facing", "lego360", "deep360"],
                    help="procedural field (data/procedural.FIELDS); "
                    "'facing' is the LLFF-style forward-facing rig for "
                    "--ndc training; 'lego360' the unbounded-surroundings "
