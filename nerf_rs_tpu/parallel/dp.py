@@ -401,7 +401,15 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
             from ..kernels.fused_render import pack_weights
 
             packed = pack_weights(params, cfg.model)
-            fpacked = pack_weights(fine_params, cfg.model)
+            # The second-net slot carries the PROPOSAL MLP when proposal
+            # sampling is on (a density-only tree with no feature/view/
+            # rgb heads — not packable as a radiance net), and
+            # share_network discards fine_params before rendering.
+            # _render_chunk does the same routing; mirror it here so we
+            # only pack a fine net when one actually renders.
+            if (fine_params is not None and not cfg.proposal.enabled
+                    and not cfg.render.share_network):
+                fpacked = pack_weights(fine_params, cfg.model)
         n = origins.shape[0]
         if n <= chunk:
             return _render_chunk(params, fine_params, grid, origins, dirs,
