@@ -303,4 +303,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # share the CLI's persistent XLA compile cache: the kernel compiles
+    # cost minutes (more mid-brownout), and the driver re-runs this
+    # bench every round on identical programs
+    from nerf_rs_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     main()

@@ -855,6 +855,34 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache shared across CLI processes.
+
+    The shared-chip service's compile path degrades by 10-30x during
+    brownouts (a 1024^2 matmul compile measured 129 s mid-brownout vs
+    ~1 s healthy), and the whole-ray kernels are minutes of compile
+    even healthy — so a train->eval pair, a restart after a wedged
+    RPC, or a re-run of an idempotent benchmarks/record_queue*.sh arm
+    should never pay the same compile twice. Entry writes are cheap;
+    gate on 5 s so only the expensive programs persist. Best-effort:
+    backends whose executables don't serialize just skip the cache.
+    """
+    import jax
+
+    try:
+        cache = os.environ.get(
+            "NERF_RS_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "nerf_rs_tpu_xla"),
+        )
+        if cache.lower() in ("", "0", "off"):
+            return
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # never let cache setup block real work
+        print(f"[cli] compile cache disabled: {e}", file=sys.stderr)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # record which flags the user explicitly passed, so presets
@@ -862,6 +890,7 @@ def main(argv=None) -> int:
     args._explicit = explicit_dests(
         sys.argv[1:] if argv is None else argv
     )
+    _enable_compile_cache()
     if getattr(args, "debug_nans", False):
         import jax
 
