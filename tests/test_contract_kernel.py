@@ -69,6 +69,7 @@ def _assert_grads_close(grads, grads_ref, atol=4e-2):
         np.testing.assert_allclose(gk / scale, gr / scale, atol=atol)
 
 
+@pytest.mark.slow
 def test_train_kernel_contract_point_matches_autodiff():
     params = init_nerf_params(jax.random.PRNGKey(0), CFG)
     params["sigma"]["b"] = params["sigma"]["b"] + 1.0
@@ -195,6 +196,7 @@ def test_kernel_disparity_distortion_matches_autodiff():
     _assert_grads_close(unpack_grads(tg, params, CFG), grads_ref)
 
 
+@pytest.mark.slow
 def test_unbounded_recipe_rides_whole_ray_kernel():
     """The full mip-NeRF 360 recipe (contract + disparity sampling +
     proposal + disparity-s distortion) passes whole_ray_supported and

@@ -154,6 +154,7 @@ def test_loss_fn_wiring():
             float(loss), float(base + 0.1 * aux["loss_dist"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_step_with_distortion():
     """make_dp_train_step's aux spec must carry loss_dist over the
     8-virtual-device mesh (shard_map out_specs enumerate aux keys)."""

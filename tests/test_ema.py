@@ -5,6 +5,8 @@ this is a rebuild extension in the Instant-NGP lineage."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,7 @@ def _ema_cfg(decay, **render_kw):
     )
 
 
+@pytest.mark.slow
 def test_ema_update_rule_exact():
     """The stored EMA is DEBIASED: after one step it equals params_1
     exactly (no init-weight leakage — a raw EMA carries d^t of the
@@ -89,6 +92,7 @@ def test_with_ema_params_swaps():
     )
 
 
+@pytest.mark.slow
 def test_ema_covers_second_net():
     """With a separate fine MLP the EMA tracks the (params, fine)
     TUPLE, and with_ema_params swaps both."""
@@ -176,6 +180,7 @@ def test_pre_ema_checkpoint_still_loads(tmp_path):
     assert r3.ema is None
 
 
+@pytest.mark.slow
 def test_cli_ema_end_to_end(tmp_path, capsys):
     """train --ema_decay, then eval: inference announces and uses the
     EMA weights."""

@@ -121,6 +121,7 @@ def test_fused_encode_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_apply_shapes_and_grad_flow():
     params = init_nerf_params(jax.random.PRNGKey(0), CFG)
     pts = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 3),
@@ -182,6 +183,7 @@ def test_factored_converges():
     )
 
 
+@pytest.mark.slow
 def test_l1_regularizer_enters_loss_and_grads():
     """fac_l1 adds mean|lines| to the loss and a sign term to the line
     gradients (TensoRF grid sparsity)."""

@@ -2,6 +2,8 @@
 compiled by Mosaic on TPU — parity there was verified on hardware, see
 kernels/fused_render.py docstring)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,7 @@ def test_pe_layout_matches_posenc():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_render_rays_fused_path():
     cam = CameraConfig(width=16, height=16)
     rcfg = RenderConfig(num_samples=8)

@@ -332,6 +332,7 @@ def test_halves_interleaving_matches_single_stream():
         )
 
 
+@pytest.mark.slow
 def test_unaligned_sample_count_pads_exactly():
     """S % 8 != 0 (the union fine pass's S + S_f + 1 shape) triggers the
     Mosaic compile-guard padding (round 5): zero-length intervals at the

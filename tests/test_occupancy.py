@@ -2,6 +2,8 @@
 geometry, PDF-concentrated sampling, grid EMA updates, and the train
 loop/state integration (grid in TrainState, checkpoint round-trip)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -191,6 +193,7 @@ def test_loop_updates_grid(tmp_path):
     assert state.grid.shape == (8, 8, 8)
 
 
+@pytest.mark.slow
 def test_grid_guided_render_matches_direct():
     """make_dp_render threads the grid through shard_map; output must
     equal a direct render_rays(grid=...) call (grid-guided RENDER
@@ -271,6 +274,7 @@ def _ipe_occ_cfg(fine=0, fine_mode="union", whole_ray=False):
     )
 
 
+@pytest.mark.slow
 def test_ipe_composes_with_occupancy_and_union():
     """Round 4 (VERDICT item 3): --ipe rides the occ-guided coarse +
     union fine record composition — config validates, the whole-ray
@@ -291,6 +295,7 @@ def test_ipe_composes_with_occupancy_and_union():
         assert np.isfinite(float(aux["loss_fine"]))
 
 
+@pytest.mark.slow
 def test_ipe_union_fine_edges_superset_of_coarse():
     """The union fine pass in the IPE path evaluates the MERGED edge
     set: render_rays(ipe, fine_mode=union) returns a fine RenderOut
