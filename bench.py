@@ -43,7 +43,9 @@ def flagship_config():
 
 
 def main():
-    from nerf_rs_tpu.config import CameraConfig, Config
+    from nerf_rs_tpu.config import (
+        CameraConfig, Config, RenderConfig, TrainConfig,
+    )
     from nerf_rs_tpu.data import synthetic
     from nerf_rs_tpu.data.device_dataset import DeviceDataset
     from nerf_rs_tpu.ops import rays as rays_ops
