@@ -320,7 +320,8 @@ def _local_grads_plain(trainable, batch: Batch, key: jax.Array, cfg: Config,
     return grads, aux
 
 
-def default_render_chunk(render_cfg, fused: bool = False) -> int:
+def default_render_chunk(render_cfg, fused: bool = False,
+                         model_cfg=None) -> int:
     """Render-chunk ray count for a fixed ray-sample memory budget.
 
     XLA path: 65536 rays is the measured-good point at 64 samples
@@ -333,11 +334,20 @@ def default_render_chunk(render_cfg, fused: bool = False) -> int:
     Fused whole-ray kernel path: per-sample activations never touch
     HBM (only (chunk, S) weights/sigma outputs do), so the chunk can
     be 4x larger — fewer lax.map trips per frame.
+
+    Flat-layout hashgrid (arch=hashgrid, hash_brick=False): the XLA
+    render program materializes 8 corner gathers per (point, level) —
+    measured 36 GB at chunk 32768 x S=128 on a 15.75 GB HBM (800px
+    ``--preset ngp --hash_brick false`` eval, round 5). An 8x smaller
+    ray-sample budget lands on the train-proven 4096 x 128 footprint.
     """
     s, f = render_cfg.num_samples, render_cfg.num_fine_samples
     s_total = max(s, f) if render_cfg.fine_mode == "standalone" else s + f
     mult = 4 if fused else 1
     budget = mult * 65536 * 64  # ray-samples per chunk
+    if (model_cfg is not None and getattr(model_cfg, "arch", "") == "hashgrid"
+            and not getattr(model_cfg, "hash_brick", False)):
+        budget //= 8
     chunk = max(4096, min(mult * 65536, budget // max(s_total, 1)))
     return 1 << (chunk.bit_length() - 1)
 
@@ -364,7 +374,8 @@ def make_dp_render(cfg: Config, mesh: Mesh, camera=None, chunk: int = 0):
     dtype = step_mod._matmul_dtype(cfg)
     use_fused = cfg.use_fused_kernel and render.fused_supported(cfg.model)
     if chunk <= 0:
-        chunk = default_render_chunk(cfg.render, fused=use_fused)
+        chunk = default_render_chunk(cfg.render, fused=use_fused,
+                                     model_cfg=cfg.model)
 
     # occupancy grids guide RENDER sampling too: a field trained at 32
     # grid-guided samples measured 45.2 dB rendered grid-guided-192 vs

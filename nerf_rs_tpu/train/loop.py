@@ -69,6 +69,7 @@ def render_frame(
         chunk = dp.default_render_chunk(
             cfg.render,
             fused=cfg.use_fused_kernel and fused_supported(cfg.model),
+            model_cfg=cfg.model,
         )
     h, w = origins.shape[:2]
     flat_o = origins.reshape(-1, 3)

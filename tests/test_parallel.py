@@ -58,6 +58,22 @@ def test_default_render_chunk_scales_with_samples():
     assert dp.default_render_chunk(RenderConfig(num_samples=8)) == 65536
 
 
+def test_default_render_chunk_flat_hashgrid_scales_down():
+    # flat-layout hash gathers materialize 8 corner rows per (point,
+    # level): chunk 32768 x S=128 measured 36 GB on a 15.75 GB HBM
+    # (round 5) -> 8x smaller budget, the train-proven 4096 x 128 shape
+    from nerf_rs_tpu.config import ModelConfig
+
+    r128 = RenderConfig(num_samples=128)
+    flat = ModelConfig(arch="hashgrid", hash_brick=False)
+    brick = ModelConfig(arch="hashgrid", hash_brick=True)
+    assert dp.default_render_chunk(r128, model_cfg=flat) == 4096
+    # brick rows are one aligned gather per (point, level): full budget
+    assert dp.default_render_chunk(r128, model_cfg=brick) == 32768
+    # MLP families unaffected
+    assert dp.default_render_chunk(r128, model_cfg=ModelConfig()) == 32768
+
+
 def test_dp_step_runs_and_updates():
     cfg = _cfg()
     m = mesh_mod.make_mesh()
