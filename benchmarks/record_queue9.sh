@@ -67,4 +67,27 @@ run_exp() { # name, flags...
 
 run_exp brick_q1k --preset ngp
 run_exp flat_q1k  --preset ngp --hash_brick false
+
+# Matched-horizon pair: the flat arm's wall-clock-shortened horizon is
+# 501 iters (same 800-step decay schedule), so also eval brick at ITS
+# 501 checkpoint — the exactly-matched read is brick@501 vs flat@501.
+eval_at_ckpt() { # name, ckpt_glob, flags...
+  local name=$1 glob=$2; shift 2
+  local dir=runs/$name
+  mkdir -p "$dir"
+  if [ -f "$dir/DONE" ]; then echo "== $name: done, skipping"; return; fi
+  if [ "$(date +%s)" -gt "$CUTOFF" ]; then
+    echo "== $name: SKIPPED (wall-clock cutoff)"; return
+  fi
+  local ckpt
+  ckpt=$(ls $glob 2>/dev/null | tail -1)
+  [ -n "$ckpt" ] || { echo "== $name: no checkpoint ($glob)"; return; }
+  echo "== $name: eval $ckpt $(date)"
+  # shellcheck disable=SC2086
+  python -m nerf_rs_tpu.cli eval $PROTO "$@" --load_path "$ckpt" \
+    --max_views 3 > "$dir/eval.txt" 2>&1 || { echo "== $name: EVAL FAILED"; return; }
+  touch "$dir/DONE"
+  tail -4 "$dir/eval.txt"
+}
+eval_at_ckpt brick_q1k_at501 "runs/brick_q1k/ckpt/checkpoint-*-501.msgpack" --preset ngp
 echo "queue9 drained $(date)"
